@@ -1,0 +1,51 @@
+"""Engine configuration.
+
+Typed, explicit analogue of the reference's YAML `Settings` class
+(src/config/settings.cc) — camera, extractor, and policy knobs in one
+hashable NamedTuple so it can be a jit static argument.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+from .. import cameras
+from ..frontend.extractor import OrbParams
+
+
+class SlamConfig(NamedTuple):
+    # camera
+    cam_model: str = cameras.PINHOLE
+    cam_params: Tuple[float, ...] = (458.654, 457.296, 367.215, 248.375)
+    image_size: Tuple[int, int] = (480, 752)      # (H, W)
+    fps: float = 20.0
+
+    # features
+    orb: OrbParams = OrbParams(n_features=1024)
+
+    # capacities (static shapes)
+    max_keyframes: int = 256
+    max_map_points: int = 8192
+
+    # tracking policy (reference: tracking.cc NeedNewKeyFrame / matchers)
+    match_radius_coarse: float = 15.0   # frame-to-frame projection search
+    match_radius_fine: float = 9.0      # local-map refinement search
+    min_track_matches: int = 20         # below this -> tracking lost
+    kf_tracked_ratio: float = 0.9       # insert KF when tracked/ref < ratio
+                                        # (reference uses 0.9 for monocular)
+    kf_max_interval: int = 10           # frames between keyframes (upper)
+    kf_min_interval: int = 1
+
+    # mapping policy
+    ba_window: int = 8                  # local BA keyframe window (optimized)
+    ba_fixed_ring: int = 4              # additional older KFs included as
+                                        # fixed anchors (reference: fixed
+                                        # 1-ring in LocalBundleAdjustment)
+    ba_iters_first: int = 5
+    ba_iters_second: int = 10
+    min_parallax_deg: float = 1.0       # new-point triangulation gate
+    culling_found_ratio: float = 0.25   # reference MapPointCulling threshold
+
+    # initialization
+    init_min_matches: int = 80
+    init_min_inliers: int = 50

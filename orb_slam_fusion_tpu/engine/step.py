@@ -1,0 +1,95 @@
+"""Fused single-device tracking step — the per-frame hot path as ONE program.
+
+The host tracker (tracker.py) composes projection, matching and pose LM as
+separate jitted calls with host decisions in between; this module fuses the
+whole per-frame compute into a single XLA program with no host round-trips:
+
+    predict -> project map -> coarse match -> pose LM
+            -> re-project -> fine match -> pose LM -> stats
+
+This is the program bench.py times on the real chip, and the 'forward step'
+the driver compile-checks via __graft_entry__.entry(). Reference equivalence:
+one iteration of Tracking::Track's hot path (TrackWithMotionModel +
+TrackLocalMap, tracking.cc:2163/2255) without the keyframe decision.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import cameras, lie
+from ..frontend import matcher
+from ..solver import pose_opt
+
+
+class TrackStepResult(NamedTuple):
+    pose: lie.SE3
+    inliers: jnp.ndarray      # (M,) bool per map point
+    n_inliers: jnp.ndarray    # () int32
+    matched_feat: jnp.ndarray  # (M,) int32 feature row per map point or -1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam_model", "img_h", "img_w"),
+)
+def fused_track_step(
+    mp_pos: jnp.ndarray,       # (M, 3)
+    mp_desc: jnp.ndarray,      # (M, 8) uint32
+    mp_valid: jnp.ndarray,     # (M,)
+    prev_pose: lie.SE3,        # last optimized pose (optimizer anchor)
+    pred_pose: lie.SE3,        # motion-model prediction (match centering)
+    kp_uv: jnp.ndarray,        # (F, 2)
+    kp_desc: jnp.ndarray,      # (F, 8)
+    kp_valid: jnp.ndarray,     # (F,)
+    kp_octave: jnp.ndarray,    # (F,)
+    kp_inv_sigma2: jnp.ndarray,  # (F,) information per keypoint octave
+    cam_params: jnp.ndarray,
+    cam_model: str = cameras.PINHOLE,
+    img_h: int = 480,
+    img_w: int = 752,
+    radius_coarse: float = 15.0,
+    radius_fine: float = 9.0,
+) -> TrackStepResult:
+    zeros_oct = jnp.zeros(mp_pos.shape[0], jnp.int32)
+
+    def project(pose):
+        pc = lie.se3_apply(pose, mp_pos)
+        uv = cameras.project(cam_model, cam_params, pc)
+        vis = (mp_valid & (pc[..., 2] > 0.05)
+               & (uv[..., 0] >= 0) & (uv[..., 0] < img_w)
+               & (uv[..., 1] >= 0) & (uv[..., 1] < img_h))
+        return uv, vis
+
+    # stage 1: coarse
+    uv1, vis1 = project(pred_pose)
+    midx, mok = matcher.search_by_projection(
+        uv1, mp_desc, vis1, zeros_oct,
+        kp_uv, kp_desc, kp_valid, kp_octave,
+        radius=radius_coarse, max_dist=matcher.TH_HIGH, octave_window=16)
+    midx_c = jnp.clip(midx, 0, kp_uv.shape[0] - 1)
+    pose1, _, _ = pose_opt.pose_optimization(
+        prev_pose, mp_pos, kp_uv[midx_c], kp_inv_sigma2[midx_c], mok,
+        cam_params, cam_model=cam_model, rounds=2)
+
+    # stage 2: fine re-match at the refined pose
+    uv2, vis2 = project(pose1)
+    midx, mok = matcher.search_by_projection(
+        uv2, mp_desc, vis2, zeros_oct,
+        kp_uv, kp_desc, kp_valid, kp_octave,
+        radius=radius_fine, max_dist=matcher.TH_HIGH, octave_window=16)
+    midx_c = jnp.clip(midx, 0, kp_uv.shape[0] - 1)
+    pose2, inlier, n_in = pose_opt.pose_optimization(
+        pose1, mp_pos, kp_uv[midx_c], kp_inv_sigma2[midx_c], mok,
+        cam_params, cam_model=cam_model, rounds=4)
+
+    return TrackStepResult(
+        pose=pose2,
+        inliers=inlier,
+        n_inliers=n_in,
+        matched_feat=jnp.where(inlier, midx, -1),
+    )

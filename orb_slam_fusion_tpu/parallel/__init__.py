@@ -1,0 +1,12 @@
+"""Multi-chip scale-out: mesh construction + distributed bundle adjustment.
+
+The reference is a single-process pthread system with zero distributed
+capability (SURVEY.md §2.3); this package is the genuinely new axis of the
+TPU build: map-scale parallelism over a `jax.sharding.Mesh`. Landmarks (and
+their Schur blocks) shard across devices; the reduced camera system is
+accumulated with `psum` over the interconnect and solved replicated — the
+SLAM analogue of data-parallel gradient accumulation with a replicated
+optimizer step.
+"""
+
+from .dist_ba import distributed_bundle_adjustment, make_slam_mesh  # noqa: F401

@@ -266,7 +266,13 @@ def _lm_run(poses, points, inlier, prob: BAProblem, cam_model: str,
         active1 = prob.valid & inlier & d1
         cost1, _ = _robust_cost(r1, prob.inv_sigma2, active1, chi2_th)
 
-        accept = cost1 < cost0
+        # NaN guard: a diverged solve (near-singular reduced system) must be
+        # rejected even though its NaN factors fall out of the masked cost.
+        finite = (jnp.all(jnp.isfinite(cand_poses.t))
+                  & jnp.all(jnp.isfinite(cand_poses.R))
+                  & jnp.all(jnp.isfinite(cand_points))
+                  & jnp.isfinite(cost1))
+        accept = (cost1 < cost0) & finite
         poses = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), cand_poses, poses)
         points = jnp.where(accept, cand_points, points)

@@ -89,15 +89,25 @@ def pose_optimization(
             chi2_new = jnp.sum(r2 * r2, axis=-1) * inv_sigma2
             cost_new = jnp.sum(jnp.where(inlier & valid & d2,
                                          huber_rho(chi2_new, chi2_th), 0.0))
-            accept = cost_new < cost
+            finite = (jnp.all(jnp.isfinite(new_pose.t))
+                      & jnp.all(jnp.isfinite(new_pose.R))
+                      & jnp.isfinite(cost_new))
+            accept = (cost_new < cost) & finite
             pose = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(accept, a, b), new_pose, pose)
-            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
-                            jnp.minimum(lam * 4.0, 1e4))
+            # Aggressive (near Gauss-Newton) damping schedule: the tracking
+            # loop feeds this pose into the constant-velocity predictor, and
+            # incomplete convergence along weakly-constrained directions
+            # (e.g. forward/scale in corridor scenes) closes an UNSTABLE
+            # feedback loop — e_{k+1} ~ kappa*(2 e_k - e_{k-1}) diverges for
+            # kappa > 1/3 — so the solver must drive its residual gain to ~0,
+            # exactly like g2o's Levenberg with tiny initial lambda.
+            lam = jnp.where(accept, jnp.maximum(lam * 0.1, 1e-9),
+                            jnp.minimum(lam * 10.0, 1e4))
             return (pose, lam, cost_new), None
 
         (pose, _, _), _ = jax.lax.scan(
-            body, (pose, jnp.asarray(1e-3, dtype), jnp.asarray(0.0, dtype)),
+            body, (pose, jnp.asarray(1e-5, dtype), jnp.asarray(0.0, dtype)),
             None, length=iters_per_round)
         return pose
 
