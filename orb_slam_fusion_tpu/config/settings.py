@@ -1,0 +1,141 @@
+"""Typed settings loader for the reference's YAML schema.
+
+Replaces the reference's `Settings` class (src/config/settings.cc,
+include/config/settings.h:43-237): reads the same `File.version: "1.0"`
+YAML layout (Camera1.* intrinsics, Camera.type PinHole/KannalaBrandt8,
+Stereo.T_c1_c2, IMU.* noise + extrinsics, ORBextractor.*, per-key
+required/optional semantics) so the reference's shipped EuRoC/TUM-VI config
+files drive this system unchanged. The OpenCV-specific `!!opencv-matrix`
+nodes are parsed structurally (rows/cols/data) without OpenCV.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import yaml
+
+from ..engine.config import SlamConfig
+from ..frontend.extractor import OrbParams
+from ..imu.preintegration import ImuCalib, make_calib
+
+
+def _opencv_matrix_constructor(loader, node):
+    mapping = loader.construct_mapping(node, deep=True)
+    data = np.asarray(mapping["data"], np.float64)
+    return data.reshape(mapping["rows"], mapping["cols"])
+
+
+def _get_loader():
+    class _Loader(yaml.SafeLoader):
+        pass
+
+    _Loader.add_constructor("tag:yaml.org,2002:opencv-matrix",
+                            _opencv_matrix_constructor)
+    _Loader.add_constructor("!!opencv-matrix", _opencv_matrix_constructor)
+    return _Loader
+
+
+@dataclasses.dataclass
+class Settings:
+    """Parsed settings: engine config + sensor calibration."""
+
+    slam: SlamConfig
+    calib: Optional[ImuCalib]          # None for vision-only configs
+    baseline: float                    # stereo baseline (m), 0 for mono
+    th_depth: float                    # close/far stereo threshold (x baseline)
+    fps: float
+    distortion: Tuple[float, ...]      # (k1,k2,p1,p2) radial-tangential
+    load_atlas: Optional[str]
+    save_atlas: Optional[str]
+
+
+def _req(d, key):
+    if key not in d:
+        raise KeyError(f"required settings key missing: {key}")
+    return d[key]
+
+
+def load_settings(path: str, sensor: str = "mono") -> Settings:
+    """sensor: mono | stereo | mono-imu | stereo-imu (reference eSensor)."""
+    with open(path) as f:
+        text = f.read()
+    # strip the OpenCV YAML directive line ("%YAML:1.0") which PyYAML rejects
+    lines = [ln for ln in text.splitlines()
+             if not ln.strip().startswith("%YAML")]
+    d = yaml.load("\n".join(lines), Loader=_get_loader())
+
+    version = d.get("File.version")
+    if version != "1.0":
+        raise ValueError(
+            f"unsupported settings version {version!r} (expected '1.0' — "
+            "the reference's legacy no-version files are not supported)")
+
+    cam_type = _req(d, "Camera.type")
+    if cam_type in ("PinHole", "Rectified"):
+        cam_model = "pinhole"
+        cam_params = (float(_req(d, "Camera1.fx")),
+                      float(_req(d, "Camera1.fy")),
+                      float(_req(d, "Camera1.cx")),
+                      float(_req(d, "Camera1.cy")))
+        distortion = tuple(float(d.get(f"Camera1.{k}", 0.0))
+                           for k in ("k1", "k2", "p1", "p2"))
+    elif cam_type == "KannalaBrandt8":
+        cam_model = "kannala_brandt8"
+        cam_params = tuple(
+            float(_req(d, f"Camera1.{k}"))
+            for k in ("fx", "fy", "cx", "cy", "k1", "k2", "k3", "k4"))
+        distortion = ()
+    else:
+        raise ValueError(f"unknown Camera.type {cam_type!r}")
+
+    width = int(_req(d, "Camera.width"))
+    height = int(_req(d, "Camera.height"))
+    fps = float(d.get("Camera.fps", 30.0))
+
+    baseline = 0.0
+    th_depth = float(d.get("Stereo.ThDepth", 60.0))
+    if "stereo" in sensor:
+        T12 = np.asarray(_req(d, "Stereo.T_c1_c2"))
+        baseline = float(np.linalg.norm(T12[:3, 3]))
+
+    calib = None
+    if "imu" in sensor:
+        Tbc = np.asarray(_req(d, "IMU.T_b_c1"))
+        calib = make_calib(
+            Tbc_R=Tbc[:3, :3].astype(np.float32),
+            Tbc_t=Tbc[:3, 3].astype(np.float32),
+            noise_gyro=float(_req(d, "IMU.NoiseGyro")),
+            noise_acc=float(_req(d, "IMU.NoiseAcc")),
+            walk_gyro=float(_req(d, "IMU.GyroWalk")),
+            walk_acc=float(_req(d, "IMU.AccWalk")),
+            freq=float(_req(d, "IMU.Frequency")),
+        )
+
+    orb = OrbParams(
+        n_features=int(d.get("ORBextractor.nFeatures", 1024)),
+        num_levels=int(d.get("ORBextractor.nLevels", 8)),
+        scale_factor=float(d.get("ORBextractor.scaleFactor", 1.2)),
+        fast_threshold_high=float(d.get("ORBextractor.iniThFAST", 20)),
+        fast_threshold_low=float(d.get("ORBextractor.minThFAST", 7)),
+    )
+
+    slam = SlamConfig(
+        cam_model=cam_model,
+        cam_params=cam_params,
+        image_size=(height, width),
+        fps=fps,
+        orb=orb,
+    )
+    return Settings(
+        slam=slam,
+        calib=calib,
+        baseline=baseline,
+        th_depth=th_depth,
+        fps=fps,
+        distortion=distortion,
+        load_atlas=d.get("System.LoadAtlasFromFile"),
+        save_atlas=d.get("System.SaveAtlasToFile"),
+    )

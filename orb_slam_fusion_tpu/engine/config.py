@@ -49,3 +49,7 @@ class SlamConfig(NamedTuple):
     # initialization
     init_min_matches: int = 80
     init_min_inliers: int = 50
+
+    # loop closing
+    loop_closing: bool = True
+    vocab_words: int = 4096

@@ -1,0 +1,264 @@
+"""Loop closing: detection, Sim3 verification, correction, pose graph.
+
+Replaces the LoopClosing thread (src/loopclosing.cc) for the single-map
+case: BoW candidate retrieval (KeyFrameDatabase), descriptor matching +
+Sim3 RANSAC (Sim3Solver) + Sim3 LM verification (OptimizeSim3), then the
+correction pipeline of CorrectLoop (loopclosing.cc:883): propagate the
+corrected Sim3 through the covisibility neighborhood, re-map points, and
+optimize the essential graph over Sim(3) to absorb accumulated (scale)
+drift. Runs synchronously after keyframe insertion (the reference's thread
+pipelining maps to host-sequenced device programs; async overlap is a later
+optimization).
+
+Thresholds follow the reference: candidates need >=20 BoW matches, Sim3
+RANSAC needs >=15 inliers (nBoWInliers), refinement >=20
+(loopclosing.cc:489-813 reduced to the monocular path).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import lie
+from ..frontend import matcher
+from ..map import map_state as ms
+from ..place import KeyFrameDatabase, make_vocabulary
+from ..solver.pose_graph import PoseGraphProblem, optimize_pose_graph
+from ..solver.sim3 import optimize_sim3, sim3_ransac
+
+
+class LoopCloser:
+    def __init__(self, cfg, max_kf: int, vocab_words: int = 4096,
+                 fix_scale: bool = False):
+        self.cfg = cfg
+        self.db = KeyFrameDatabase(make_vocabulary(vocab_words), max_kf)
+        self.fix_scale = fix_scale
+        self.last_loop_kf = -10 ** 9
+        self.min_gap = 10           # KFs between loop closures
+        self.min_kf = 12            # reference: map must have >=12 KFs
+        self.num_closed = 0
+
+    # -- database maintenance (called by the tracker on KF insert) ---------
+
+    def add_keyframe(self, kf_id: int, desc, valid) -> None:
+        self.db.add(kf_id, desc, valid)
+
+    # -- detection + closure ------------------------------------------------
+
+    def try_close(self, tracker) -> bool:
+        """Detect and (if verified) close a loop for the newest keyframe.
+
+        Returns True if a loop was closed (map was rewritten).
+        """
+        m = tracker.map
+        kf_id = tracker.last_kf_id
+        n_kf = int(m.n_kf)
+        if kf_id < 0 or n_kf < self.min_kf:
+            return False
+        if kf_id - self.last_loop_kf < self.min_gap:
+            return False
+
+        # covisibility exclusion set: KFs sharing observations with kf_id,
+        # plus a temporal guard band (recency ~ covisibility pre-loop)
+        W = ms.covisibility_matrix(m)
+        covis = np.asarray(W[kf_id] > 0)
+        exclude = np.zeros(m.max_kf, bool)
+        exclude[: m.max_kf] = False
+        exclude[covis.nonzero()[0]] = True
+        lo = max(0, kf_id - 6)
+        exclude[lo: kf_id + 1] = True
+
+        q = self.db.compute_bow(m.kf_desc[kf_id], m.kf_feat_valid[kf_id])
+        ids, scores = self.db.query(q, jnp.asarray(exclude), top_k=3)
+        ids = np.asarray(ids)
+
+        for cand in ids:
+            if cand < 0:
+                continue
+            if self._verify_and_correct(tracker, kf_id, int(cand)):
+                self.last_loop_kf = kf_id
+                self.num_closed += 1
+                return True
+        return False
+
+    def _verify_and_correct(self, tracker, cur: int, cand: int) -> bool:
+        m = tracker.map
+        F = m.n_feat
+
+        # descriptor matches between the two keyframes, restricted to
+        # features bound to map points (we need 3D-3D correspondences)
+        cur_has = m.kf_feat_valid[cur] & (m.kf_obs_mp[cur] >= 0)
+        cand_has = m.kf_feat_valid[cand] & (m.kf_obs_mp[cand] >= 0)
+        idx, ok = matcher.match_mutual(
+            m.kf_desc[cand], cand_has, m.kf_desc[cur], cur_has,
+            max_dist=matcher.TH_LOW)
+        n_matches = int(jnp.sum(ok))
+        if n_matches < 20:
+            return False
+
+        idx_c = jnp.clip(idx, 0, F - 1)
+        mp_cand = jnp.clip(m.kf_obs_mp[cand], 0, m.max_mp - 1)
+        mp_cur_row = m.kf_obs_mp[cur][idx_c]
+        mp_cur = jnp.clip(mp_cur_row, 0, m.max_mp - 1)
+        pair_ok = ok & (mp_cur_row >= 0)
+
+        pose_cand = lie.SE3(m.kf_pose.R[cand], m.kf_pose.t[cand])
+        pose_cur = lie.SE3(m.kf_pose.R[cur], m.kf_pose.t[cur])
+        x1 = lie.se3_apply(pose_cand, m.mp_pos[mp_cand])   # cand frame
+        x2 = lie.se3_apply(pose_cur, m.mp_pos[mp_cur])     # cur frame
+        uv1 = m.kf_uv[cand]
+        uv2 = m.kf_uv[cur][idx_c]
+
+        res = sim3_ransac(
+            x1, x2, pair_ok, uv1, uv2, tracker.cam_params,
+            jax.random.PRNGKey(cur * 7919 + cand),
+            fix_scale=self.fix_scale, min_inliers=15,
+            cam_model=self.cfg.cam_model)
+        if not bool(res.ok):
+            return False
+
+        S_ref, inlier, n_in = optimize_sim3(
+            res.sim, x1, x2, pair_ok, uv1, uv2,
+            jnp.ones(F), jnp.ones(F), tracker.cam_params,
+            fix_scale=self.fix_scale, cam_model=self.cfg.cam_model)
+        if int(n_in) < 20:
+            return False
+
+        self._correct_loop(tracker, cur, cand, S_ref)
+        return True
+
+    # -- correction ---------------------------------------------------------
+
+    def _correct_loop(self, tracker, cur: int, cand: int,
+                      S_cand_to_cur: lie.Sim3) -> None:
+        """Pose-graph correction (reference CorrectLoop, loopclosing.cc:883).
+
+        S_cand_to_cur maps candidate-camera points into the current camera:
+        x_cur ~ S * x_cand, so the drift-corrected current pose (as a Sim3
+        world->camera) is  S_cur_corr = S * S_cand.
+        """
+        m = tracker.map
+        n_kf = int(m.n_kf)
+        K = n_kf
+
+        # current Sim3 poses (s=1) for all keyframes
+        poses = lie.Sim3(
+            jnp.ones(K, jnp.float32),
+            m.kf_pose.R[:K], m.kf_pose.t[:K])
+
+        def sim_of(k):
+            return lie.Sim3(poses.s[k], poses.R[k], poses.t[k])
+
+        # ---- essential-graph edges ------------------------------------
+        # sequential (spanning-tree analogue) edges from current estimates
+        edge_i = list(range(K - 1))
+        edge_j = list(range(1, K))
+        rels = [lie.sim3_compose(sim_of(k + 1), lie.sim3_inverse(sim_of(k)))
+                for k in range(K - 1)]
+        weights = [1.0] * (K - 1)
+        # strong covisibility edges (weight >= 30 shared points)
+        Wc = np.asarray(ms.covisibility_matrix(m))[:K, :K]
+        strong = np.argwhere(np.triu(Wc, 2) >= 30)
+        for i, j in strong[:200]:
+            edge_i.append(int(i))
+            edge_j.append(int(j))
+            rels.append(lie.sim3_compose(sim_of(int(j)),
+                                         lie.sim3_inverse(sim_of(int(i)))))
+            weights.append(1.0)
+        # the measured loop edge: S_cur_corr = S * S_cand, so
+        # rel(cand -> cur) = S_cur S_cand^-1 |_measured = S_cand_to_cur
+        edge_i.append(cand)
+        edge_j.append(cur)
+        rels.append(S_cand_to_cur)
+        weights.append(float(len(edge_i)))  # strong anchor weight
+
+        rel_b = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *rels)
+        fixed = np.zeros(K, bool)
+        fixed[cand] = True
+
+        prob = PoseGraphProblem(
+            poses=poses,
+            edge_i=jnp.asarray(edge_i, jnp.int32),
+            edge_j=jnp.asarray(edge_j, jnp.int32),
+            edge_rel=rel_b,
+            edge_weight=jnp.asarray(weights, jnp.float32),
+            edge_valid=jnp.ones(len(edge_i), bool),
+            fixed=jnp.asarray(fixed),
+        )
+        new_poses, costs = optimize_pose_graph(prob, iters=25)
+
+        # ---- apply: keyframe poses (SE3 with scale folded into t) ------
+        # Sim3 world->cam (s, R, t) acts x_c = s R x_w + t; the equivalent
+        # SE3 after rescaling the world is (R, t / s) (reference
+        # loopclosing.cc corrected-pose recovery [R t/s]).
+        corr_R = new_poses.R
+        corr_t = new_poses.t / new_poses.s[:, None]
+
+        # ---- apply: map points via their reference keyframe ------------
+        # X_new = S_r_new^-1 ( S_r_old (X_old) )
+        ref = jnp.clip(m.mp_ref_kf, 0, K - 1)
+        old_ref = lie.Sim3(poses.s[ref], poses.R[ref], poses.t[ref])
+        new_ref = lie.Sim3(new_poses.s[ref], new_poses.R[ref],
+                           new_poses.t[ref])
+        Xc = lie.sim3_apply(old_ref, m.mp_pos)
+        X_new = lie.sim3_apply(lie.sim3_inverse(new_ref), Xc)
+        mp_pos = jnp.where(m.mp_valid[:, None], X_new, m.mp_pos)
+
+        kf_R = m.kf_pose.R.at[:K].set(corr_R)
+        kf_t = m.kf_pose.t.at[:K].set(corr_t)
+        tracker.map = m._replace(
+            kf_pose=lie.SE3(kf_R, kf_t),
+            mp_pos=mp_pos,
+        )
+        # keep tracker state consistent with the rewritten map
+        tracker.cur_pose = lie.SE3(kf_R[cur], kf_t[cur])
+        tracker.velocity = lie.se3_identity()
+
+        # ---- fuse: project loop-side points into the current KF and
+        # merge duplicate observations (simplified SearchAndFuse,
+        # loopclosing.cc:1982) ------------------------------------------
+        self._fuse_duplicates(tracker, cur, cand)
+
+    def _fuse_duplicates(self, tracker, cur: int, cand: int) -> None:
+        """Merge map points duplicated across the loop: features of the
+        current KF re-matched to candidate-side points adopt those points."""
+        m = tracker.map
+        F = m.n_feat
+        pose_cur = lie.SE3(m.kf_pose.R[cur], m.kf_pose.t[cur])
+
+        cand_obs = m.kf_obs_mp[cand]
+        cand_mp = jnp.clip(cand_obs, 0, m.max_mp - 1)
+        cand_has = (cand_obs >= 0) & m.kf_feat_valid[cand]
+
+        # project candidate-side points into the corrected current KF
+        from .tracker import _project_map_points
+        h, w = self.cfg.image_size
+        uv_pred, vis, _ = _project_map_points(
+            m.mp_pos[cand_mp], cand_has & m.mp_valid[cand_mp], pose_cur,
+            tracker.cam_params, self.cfg.cam_model, h, w)
+
+        midx, mok = matcher.search_by_projection(
+            uv_pred, m.mp_desc[cand_mp], vis,
+            jnp.zeros(F, jnp.int32),
+            m.kf_uv[cur], m.kf_desc[cur], m.kf_feat_valid[cur],
+            m.kf_octave[cur], radius=8.0,
+            max_dist=matcher.TH_LOW, octave_window=16)
+
+        # current-KF features matched to a loop point: rebind observation,
+        # and invalidate the now-duplicate current-side point
+        midx_c = jnp.clip(midx, 0, F - 1)
+        cur_obs_row = m.kf_obs_mp[cur]
+        dup = mok & (cur_obs_row[midx_c] >= 0) \
+            & (cur_obs_row[midx_c] != cand_mp)
+        from ..utils import masked_set
+        new_cur_obs = masked_set(cur_obs_row, midx_c, cand_mp, mok)
+        kfo = m.kf_obs_mp.at[cur].set(new_cur_obs)
+        # invalidate replaced duplicates
+        dup_rows = jnp.clip(cur_obs_row[midx_c], 0, m.max_mp - 1)
+        mp_valid = masked_set(m.mp_valid, dup_rows,
+                              jnp.zeros(F, bool), dup)
+        tracker.map = m._replace(kf_obs_mp=kfo, mp_valid=mp_valid)

@@ -1,0 +1,194 @@
+"""Stereo tracking pipeline.
+
+Reference paths covered: Tracking::StereoInitialization (tracking.cc:1681 —
+instant map bootstrap from disparity depth), stereo new-point creation at
+keyframes (tracking.cc:2550 CreateNewKeyFrame close-point insertion +
+localmapping stereo triangulation), and stereo residuals in local BA
+(EdgeStereoSE3ProjectXYZ). Scale is metric from the first frame — no
+two-view RANSAC, no scale gauge.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import cameras, lie
+from ..frontend import extractor, matcher
+from ..frontend.stereo import depth_from_disparity, stereo_match
+from ..map import map_state as ms
+from ..solver import ba
+from ..utils import masked_set
+from .config import SlamConfig
+from .tracker import FrameRecord, MonoTracker, TrackState, _rays_from_uv
+
+
+class StereoTracker(MonoTracker):
+    """Stereo SLAM session (rectified pair, shared intrinsics)."""
+
+    def __init__(self, config: SlamConfig, baseline: float):
+        super().__init__(config)
+        self.baseline = float(baseline)
+        self.bf = float(baseline) * float(config.cam_params[0])
+        # per-keyframe right-image u per feature (-1 = mono observation)
+        self.kf_uright = jnp.full(
+            (config.max_keyframes, config.orb.n_features), -1.0, jnp.float32)
+        self._cur_uright = None
+        self._cur_has_stereo = None
+        self.min_stereo_points = 50
+
+    # -- public API --------------------------------------------------------
+
+    def process_stereo_features(self, featsL: extractor.Features,
+                                featsR: extractor.Features,
+                                timestamp: float) -> FrameRecord:
+        u_right, has_stereo = stereo_match(featsL, featsR)
+        self._cur_uright = u_right
+        self._cur_has_stereo = has_stereo
+        if self.state in (TrackState.NO_IMAGES, TrackState.NOT_INITIALIZED):
+            rec = self._stereo_initialize(featsL, timestamp)
+            self.frame_id += 1
+            self.trajectory.append(rec)
+            return rec
+        return self.process_features(featsL, timestamp)
+
+    def process_stereo_images(self, imgL, imgR, timestamp: float
+                              ) -> FrameRecord:
+        fL = extractor.extract_features(imgL, self.cfg.orb)
+        fR = extractor.extract_features(imgR, self.cfg.orb)
+        return self.process_stereo_features(fL, fR, timestamp)
+
+    # -- initialization ----------------------------------------------------
+
+    def _stereo_initialize(self, feats, timestamp) -> FrameRecord:
+        """Instant bootstrap: every stereo feature becomes a map point."""
+        cfg = self.cfg
+        z = depth_from_disparity(feats.uv[:, 0], self._cur_uright,
+                                 self.bf, self._cur_has_stereo)
+        good = self._cur_has_stereo & feats.valid & (z > 0.1) \
+            & (z < 40.0 * self.baseline * 100)
+        if int(jnp.sum(good)) < self.min_stereo_points:
+            return FrameRecord(timestamp, self.cur_pose, 0, "init-fail")
+
+        rays = _rays_from_uv(feats.uv, self.cam_params, cfg.cam_model)
+        X_c = rays * z[:, None]
+        pose0 = lie.se3_identity()
+        X_w = X_c  # world = first camera
+
+        normals = -X_w / jnp.maximum(
+            jnp.linalg.norm(X_w, axis=-1, keepdims=True), 1e-9)
+        self.map, mp_ids = ms.add_map_points(
+            self.map, X_w, feats.desc, normals,
+            jnp.int32(0), jnp.int32(0), good)
+        self.map, kf0 = ms.add_keyframe(
+            self.map, pose0, timestamp, feats.uv, feats.desc,
+            feats.octave, feats.valid, mp_ids)
+        self.kf_uright = self.kf_uright.at[0].set(
+            jnp.where(self._cur_has_stereo, self._cur_uright, -1.0))
+
+        self.cur_pose = pose0
+        self.last_pose = pose0
+        self.velocity = lie.se3_identity()
+        self.last_kf_id = int(kf0)
+        self.last_kf_tracked = int(jnp.sum(mp_ids >= 0))
+        self.frames_since_kf = 0
+        self.state = TrackState.OK
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(0, feats.desc, feats.valid)
+        return FrameRecord(timestamp, pose0, self.last_kf_tracked,
+                           "init-done")
+
+    # -- keyframe insertion ------------------------------------------------
+
+    def _insert_keyframe(self, feats, timestamp, obs):
+        """Stereo KF insert: unmatched stereo features become points
+        immediately (reference: CreateNewKeyFrame close-point creation),
+        then the usual multi-view triangulation tops up far/mono points."""
+        cfg = self.cfg
+        kf_id_expected = int(self.map.n_kf)
+        u_right = self._cur_uright
+        has_stereo = self._cur_has_stereo
+
+        if u_right is not None:
+            z = depth_from_disparity(feats.uv[:, 0], u_right, self.bf,
+                                     has_stereo)
+            new_mask = (has_stereo & feats.valid & (obs < 0)
+                        & (z > 0.1) & (z < 30.0))
+            rays = _rays_from_uv(feats.uv, self.cam_params, cfg.cam_model)
+            X_c = rays * z[:, None]
+            Twc = lie.se3_inverse(self.cur_pose)
+            X_w = lie.se3_apply(Twc, X_c)
+            normals = X_w - Twc.t
+            normals = normals / jnp.maximum(
+                jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
+            self.map, new_ids = ms.add_map_points(
+                self.map, X_w, feats.desc, normals,
+                jnp.int32(kf_id_expected), jnp.int32(kf_id_expected),
+                new_mask)
+            obs = jnp.where(new_ids >= 0, new_ids, obs)
+
+        super()._insert_keyframe(feats, timestamp, obs)
+        kf_id = self.last_kf_id
+        if kf_id == kf_id_expected and u_right is not None:
+            self.kf_uright = self.kf_uright.at[kf_id].set(
+                jnp.where(has_stereo, u_right, -1.0))
+
+    # -- local BA with stereo residuals -----------------------------------
+
+    def _local_ba(self):
+        cfg = self.cfg
+        n_kf = int(self.map.n_kf)
+        W = cfg.ba_window + cfg.ba_fixed_ring
+        start = max(0, n_kf - W)
+        window = np.full(W, -1, np.int32)
+        ids = np.arange(start, n_kf, dtype=np.int32)
+        window[: len(ids)] = ids
+        window_j = jnp.asarray(window)
+
+        kf_idx, mp_idx, uv, octv, valid = ms.observation_triples(
+            self.map, window_j)
+        inv_s2 = extractor.inv_scale_sigma2(cfg.orb)[
+            jnp.clip(octv, 0, cfg.orb.num_levels - 1)]
+        # gather right-u per factor from the per-KF table
+        ur = self.kf_uright[np.clip(window, 0, None)].reshape(-1)
+        stereo_mask = valid & (ur > 0)
+
+        poses = lie.SE3(self.map.kf_pose.R[np.clip(window, 0, None)],
+                        self.map.kf_pose.t[np.clip(window, 0, None)])
+        n_in_window = len(ids)
+        # stereo is metric: a single fixed anchor suffices
+        n_fixed = max(n_in_window - cfg.ba_window, 1)
+        fixed = np.zeros(W, bool)
+        fixed[:n_fixed] = True
+        fixed |= (window < 0)
+
+        prob = ba.make_problem(
+            poses, self.map.mp_pos, kf_idx, mp_idx, uv, inv_s2, valid,
+            jnp.asarray(fixed), self.cam_params,
+            fixed_point=~self.map.mp_valid, max_obs=W,
+            u_right=ur, stereo_mask=stereo_mask, bf=self.bf)
+        new_poses, new_points, inlier, _ = ba.bundle_adjustment(
+            prob, cam_model=cfg.cam_model,
+            iters_first=cfg.ba_iters_first,
+            iters_second=cfg.ba_iters_second)
+
+        ids_j = jnp.asarray(ids)
+        self.map = self.map._replace(
+            kf_pose=lie.SE3(
+                self.map.kf_pose.R.at[ids_j].set(new_poses.R[:n_in_window]),
+                self.map.kf_pose.t.at[ids_j].set(new_poses.t[:n_in_window]),
+            ),
+            mp_pos=jnp.where(self.map.mp_valid[:, None], new_points,
+                             self.map.mp_pos),
+        )
+        F = self.map.n_feat
+        drop = (valid & ~inlier).reshape(W, F)[:n_in_window]
+        kfo = self.map.kf_obs_mp
+        kfo = kfo.at[ids_j].set(jnp.where(drop, -1, kfo[ids_j]))
+        self.map = self.map._replace(kf_obs_mp=kfo)
+        if self.last_kf_id >= 0 and n_in_window > 0:
+            self.cur_pose = lie.SE3(self.map.kf_pose.R[self.last_kf_id],
+                                    self.map.kf_pose.t[self.last_kf_id])

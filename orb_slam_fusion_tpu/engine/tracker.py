@@ -136,6 +136,15 @@ class MonoTracker:
         self.trajectory: list[FrameRecord] = []
         # feature->map-point association for the current frame
         self._cur_obs = None
+        self.loop_closer = None
+        if config.loop_closing:
+            from .loop_closing import LoopCloser
+            self.loop_closer = LoopCloser(
+                config, config.max_keyframes, config.vocab_words)
+        self.lost_since = -10 ** 9
+        self.reloc_grace_frames = 40  # ~2 s at 20 fps (reference
+        # time_recently_lost = 5 s, tracking.h:309 — shortened because the
+        # fresh-map fallback is cheap here)
 
     def reset_map(self):
         """Discard the map and start over (keeps the trajectory log)."""
@@ -148,6 +157,10 @@ class MonoTracker:
         self.last_kf_id = -1
         self.last_kf_tracked = 0
         self.frames_since_kf = 0
+        if self.loop_closer is not None:
+            from .loop_closing import LoopCloser
+            self.loop_closer = LoopCloser(
+                cfg, cfg.max_keyframes, cfg.vocab_words)
 
     # -- public API --------------------------------------------------------
 
@@ -162,11 +175,18 @@ class MonoTracker:
             rec = self._try_initialize(feats, timestamp)
         elif self.state == TrackState.OK:
             rec = self._track_frame(feats, timestamp)
-        else:  # LOST: fresh map + re-initialize (the single-map stand-in for
-            # the reference's CreateMapInAtlas, tracking.cc:1988 — replaced
-            # by true multi-map atlas once loop closing/merging lands)
-            self.reset_map()
-            rec = self._try_initialize(feats, timestamp)
+        else:  # LOST: relocalize against the existing map for a grace
+            # window (reference RECENTLY_LOST, tracking.cc:1403-1448), then
+            # give up and start a fresh map (stand-in for CreateMapInAtlas,
+            # tracking.cc:1988, until the multi-map atlas lands)
+            if (self.frame_id - self.lost_since <= self.reloc_grace_frames
+                    and self._try_relocalize(feats)):
+                rec = self._track_frame(feats, timestamp)
+            elif self.frame_id - self.lost_since <= self.reloc_grace_frames:
+                rec = FrameRecord(timestamp, self.cur_pose, 0, "reloc-fail")
+            else:
+                self.reset_map()
+                rec = self._try_initialize(feats, timestamp)
         self.frame_id += 1
         self.trajectory.append(rec)
         return rec
@@ -290,6 +310,7 @@ class MonoTracker:
             n_matches = int(jnp.sum(mok))
         if n_matches < cfg.min_track_matches:
             self.state = TrackState.LOST
+            self.lost_since = self.frame_id
             self.ref_feats = None
             return FrameRecord(timestamp, pred_pose, n_matches, "lost")
 
@@ -335,6 +356,7 @@ class MonoTracker:
         n_inliers = int(n_in)
         if n_inliers < cfg.min_track_matches // 2:
             self.state = TrackState.LOST
+            self.lost_since = self.frame_id
             self.ref_feats = None
             return FrameRecord(timestamp, pred_pose, n_inliers, "lost")
 
@@ -372,6 +394,41 @@ class MonoTracker:
         if self.frames_since_kf >= cfg.kf_max_interval:
             return True
         return n_inliers < cfg.kf_tracked_ratio * max(self.last_kf_tracked, 1)
+
+    def _try_relocalize(self, feats) -> bool:
+        """PnP relocalization against the existing map (reference:
+        Tracking::Relocalization, tracking.cc:2869 — BoW candidates +
+        MLPnP RANSAC; here BoW candidates + batched DLT-PnP RANSAC)."""
+        if self.loop_closer is None or int(self.map.n_kf) < 2:
+            return False
+        from ..solver.pnp import pnp_ransac
+        db = self.loop_closer.db
+        q = db.compute_bow(feats.desc, feats.valid)
+        ids, _ = db.query(q, jnp.zeros(self.map.max_kf, bool), top_k=3)
+        for cand in np.asarray(ids):
+            if cand < 0:
+                continue
+            cand = int(cand)
+            m = self.map
+            cand_has = m.kf_feat_valid[cand] & (m.kf_obs_mp[cand] >= 0)
+            idx, ok = matcher.match_mutual(
+                feats.desc, feats.valid, m.kf_desc[cand], cand_has,
+                max_dist=matcher.TH_LOW)
+            if int(jnp.sum(ok)) < 15:
+                continue
+            idx_c = jnp.clip(idx, 0, m.n_feat - 1)
+            mp_rows = jnp.clip(m.kf_obs_mp[cand][idx_c], 0, m.max_mp - 1)
+            X = m.mp_pos[mp_rows]
+            res = pnp_ransac(
+                X, feats.uv, ok & m.mp_valid[mp_rows], self.cam_params,
+                jax.random.PRNGKey(self.frame_id * 131 + cand),
+                cam_model=self.cfg.cam_model)
+            if bool(res.ok):
+                self.cur_pose = res.pose
+                self.velocity = lie.se3_identity()
+                self.state = TrackState.OK
+                return True
+        return False
 
     # -- mapping -----------------------------------------------------------
 
@@ -434,17 +491,97 @@ class MonoTracker:
             self.map = self.map._replace(kf_obs_mp=kfo)
             cur_obs = self.map.kf_obs_mp[kf_id]
 
+        # ---- fuse duplicate points with the previous keyframe -----------
+        # (reference: LocalMapping::SearchInNeighbors two-pass Fuse,
+        # localmapping.cc:619 — merge points that project onto features
+        # already bound to another point)
+        if prev_kf >= 0:
+            self._fuse_into_keyframe(kf_id)
+
         # ---- map point culling (reference MapPointCulling) --------------
         ratio = self.map.mp_found / jnp.maximum(self.map.mp_visible, 1)
         seen_enough = self.map.mp_visible >= 8
         bad = seen_enough & (ratio < cfg.culling_found_ratio)
         self.map = self.map._replace(mp_valid=self.map.mp_valid & ~bad)
 
+        # ---- keyframe culling (reference KeyFrameCulling) ---------------
+        self._cull_keyframes()
+
         self.last_kf_id = kf_id
         self.last_kf_tracked = int(jnp.sum(self.map.kf_obs_mp[kf_id] >= 0))
         self.frames_since_kf = 0
 
         self._local_ba()
+
+        if self.loop_closer is not None:
+            self.loop_closer.add_keyframe(kf_id, feats.desc, feats.valid)
+            self.loop_closer.try_close(self)
+
+    def _fuse_into_keyframe(self, kf_id: int):
+        """Merge map-point duplicates visible in keyframe `kf_id`.
+
+        Projects all valid map points into the keyframe; where a projected
+        point matches a feature already bound to a DIFFERENT point, the two
+        are duplicates — the older point absorbs the newer one everywhere
+        (reference MapPoint::Replace keeps the more-observed one;
+        lower row id == older == more established here).
+        """
+        cfg = self.cfg
+        m = self.map
+        h, w = cfg.image_size
+        pose = lie.SE3(m.kf_pose.R[kf_id], m.kf_pose.t[kf_id])
+        uv_pred, vis, _ = _project_map_points(
+            m.mp_pos, m.mp_valid, pose, self.cam_params, cfg.cam_model, h, w)
+        midx, mok = matcher.search_by_projection(
+            uv_pred, m.mp_desc, vis, jnp.zeros(m.max_mp, jnp.int32),
+            m.kf_uv[kf_id], m.kf_desc[kf_id], m.kf_feat_valid[kf_id],
+            m.kf_octave[kf_id], radius=4.0,
+            max_dist=matcher.TH_LOW, octave_window=16)
+        midx_c = jnp.clip(midx, 0, m.n_feat - 1)
+        bound = m.kf_obs_mp[kf_id][midx_c]          # (M,) current binding
+        mp_rows = jnp.arange(m.max_mp, dtype=jnp.int32)
+        dup = mok & (bound >= 0) & (bound != mp_rows)
+        # keep the older id: absorb the larger row into the smaller
+        keep = jnp.where(bound < mp_rows, bound, mp_rows)
+        kill = jnp.where(bound < mp_rows, mp_rows, bound)
+        # build a replacement lookup: replace[kill] = keep
+        replace = jnp.arange(m.max_mp, dtype=jnp.int32)
+        replace = masked_set(replace, kill, keep, dup)
+        # apply to all observation tables (one gather) and drop the killed
+        obs = m.kf_obs_mp
+        obs_new = jnp.where(obs >= 0, replace[jnp.clip(obs, 0, None)], obs)
+        killed_mask = masked_set(jnp.zeros(m.max_mp, bool), kill,
+                                 jnp.ones(m.max_mp, bool), dup)
+        self.map = m._replace(
+            kf_obs_mp=obs_new,
+            mp_valid=m.mp_valid & ~killed_mask,
+        )
+
+    def _cull_keyframes(self):
+        """Drop redundant keyframes (reference KeyFrameCulling,
+        localmapping.cc:791): a keyframe whose tracked points are >=90%%
+        covered by >=3 other keyframes is removed. Checked over the recent
+        window, sparing the newest two and the first."""
+        m = self.map
+        n_kf = int(m.n_kf)
+        if n_kf < 6:
+            return
+        memb = ms.observation_mask(m)               # (K, M)
+        obs_count = jnp.sum(memb, axis=0)           # (M,)
+        # fraction of each KF's points seen by >= 4 KFs (self + 3 others)
+        pts = memb & (obs_count[None, :] >= 4)
+        n_pts = jnp.maximum(jnp.sum(memb, axis=1), 1)
+        redundant = jnp.sum(pts, axis=1) / n_pts
+        redundant = np.asarray(redundant)
+        for k in range(max(1, n_kf - 10), n_kf - 2):
+            if bool(m.kf_valid[k]) and redundant[k] > 0.9:
+                self.map = self.map._replace(
+                    kf_valid=self.map.kf_valid.at[k].set(False),
+                    kf_obs_mp=self.map.kf_obs_mp.at[k].set(-1),
+                )
+                if self.loop_closer is not None:
+                    self.loop_closer.db.remove(k)
+                m = self.map
 
     def _local_ba(self):
         """Windowed local BA: newest `ba_window` keyframes optimized, plus

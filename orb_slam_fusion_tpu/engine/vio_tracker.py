@@ -1,0 +1,318 @@
+"""Visual-inertial (monocular + IMU) tracking pipeline.
+
+Extends the monocular tracker with the reference's inertial machinery
+(tracking.cc + localmapping.cc IMU paths):
+
+* per-frame IMU queueing + preintegration from the last frame and from the
+  last keyframe (Tracking::PreintegrateIMU, tracking.cc:1099 — here the
+  float64 host integrator);
+* IMU state prediction for matching (Tracking::PredictStateIMU,
+  tracking.cc:1201);
+* the staged IMU initialization (LocalMapping::InitializeIMU,
+  localmapping.cc:1035): once enough keyframes/time accumulated, estimate
+  gravity direction, scale, bias and velocities with `inertial_init`, then
+  apply the scaled-rotation gauge transform to the whole map
+  (Map::ApplyScaledRotation, map.cc:230) so gravity is -z and scale is
+  metric;
+* after initialization, local mapping switches to visual-inertial BA
+  (`visual_inertial_ba` = LocalInertialBA).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import lie
+from ..imu.factors import information_from_cov
+from ..imu.preintegration import (GRAVITY, ImuBias, ImuCalib, Preintegrated,
+                                  preintegrate_host, zero_bias)
+from ..map import map_state as ms
+from ..solver import ba
+from ..solver.vi_ba import (InertialFactorBatch, VIState, body_state,
+                            inertial_init, visual_inertial_ba)
+from ..frontend import extractor
+from .config import SlamConfig
+from .tracker import FrameRecord, MonoTracker, TrackState
+
+
+class VioTracker(MonoTracker):
+    """Monocular-inertial SLAM session."""
+
+    def __init__(self, config: SlamConfig, calib: ImuCalib):
+        super().__init__(config)
+        self.calib = calib
+        self.imu_initialized = False
+        self.gravity_w = jnp.array([0.0, 0.0, -GRAVITY], jnp.float32)
+        self.bias = zero_bias()
+        self.cur_vel = jnp.zeros(3, jnp.float32)
+        # per-keyframe inertial records (host lists, indexed by kf row)
+        self.kf_vel: List[np.ndarray] = []
+        self.kf_bias: List[ImuBias] = []
+        self.kf_pre: List[Optional[Preintegrated]] = []  # pre from prev KF
+        self.kf_time: List[float] = []
+        # measurement buffers since last frame / last keyframe
+        self._buf_kf = ([], [], [])   # acc, gyro, dt since last KF
+        self._last_frame_time: Optional[float] = None
+        self.init_min_time = 2.0      # seconds of KFs before IMU init
+        self.init_min_kfs = 8
+
+    # -- public API --------------------------------------------------------
+
+    def process_frame_imu(self, feats, timestamp: float,
+                          acc: np.ndarray, gyro: np.ndarray,
+                          meas_t: np.ndarray) -> FrameRecord:
+        """feats + IMU measurements in (last_frame_time, timestamp]."""
+        pre_frame = None
+        if self._last_frame_time is not None and len(meas_t) > 0:
+            dts = np.diff(np.concatenate(
+                [[self._last_frame_time], np.asarray(meas_t)]))
+            dts = np.maximum(dts, 0.0)
+            # tail to the frame timestamp
+            tail = max(0.0, timestamp - float(meas_t[-1]))
+            acc_w = np.concatenate([acc, acc[-1:]])
+            gyro_w = np.concatenate([gyro, gyro[-1:]])
+            dts_w = np.concatenate([dts, [tail]])
+            pre_frame = preintegrate_host(
+                acc_w, gyro_w, dts_w, self.bias, self.calib)
+            a, g, d = self._buf_kf
+            a.extend(acc_w.tolist())
+            g.extend(gyro_w.tolist())
+            d.extend(dts_w.tolist())
+
+        # IMU pose prediction replaces the constant-velocity model
+        if self.imu_initialized and pre_frame is not None \
+                and self.state == TrackState.OK:
+            self._predict_with_imu(pre_frame)
+
+        rec = self.process_features(feats, timestamp)
+        self._last_frame_time = timestamp
+        return rec
+
+    # -- prediction --------------------------------------------------------
+
+    def _predict_with_imu(self, pre: Preintegrated):
+        """Propagate (pose, vel) with the preintegrated frame delta and
+        stash the result where the tracker's motion model reads it."""
+        R_wb, p_wb = body_state(self.cur_pose, self.calib)
+        dt = float(pre.dT)
+        g = self.gravity_w
+        R_wb2 = R_wb @ pre.dR
+        v2 = self.cur_vel + g * dt + R_wb @ pre.dV
+        p2 = p_wb + self.cur_vel * dt + 0.5 * g * dt * dt + R_wb @ pre.dP
+        # back to camera pose: T_cw = T_cb o T_bw
+        R_bw = R_wb2.T
+        t_bw = -R_bw @ p2
+        Tcb_R = self.calib.Tbc_R.T
+        Tcb_t = -Tcb_R @ self.calib.Tbc_t
+        R_cw = Tcb_R @ R_bw
+        t_cw = Tcb_R @ t_bw + Tcb_t
+        pred = lie.SE3(jnp.asarray(R_cw), jnp.asarray(t_cw))
+        # the tracker predicts with velocity o cur_pose; encode the IMU
+        # prediction as that composition
+        self.velocity = lie.se3_compose(pred, lie.se3_inverse(self.cur_pose))
+        self.cur_vel = v2
+
+    # -- keyframe hooks ----------------------------------------------------
+
+    def _create_initial_map(self, feats, timestamp, idx, res):
+        super()._create_initial_map(feats, timestamp, idx, res)
+        # the two bootstrap keyframes predate any usable preintegration
+        # window (the buffer spans from before the reference frame), so
+        # they carry no inertial factor
+        n_kf = int(self.map.n_kf)
+        while len(self.kf_pre) < n_kf:
+            self.kf_pre.append(None)
+            self.kf_vel.append(np.zeros(3, np.float32))
+            self.kf_bias.append(self.bias)
+            self.kf_time.append(timestamp)
+        self._buf_kf = ([], [], [])
+
+    def _insert_keyframe(self, feats, timestamp, obs):
+        prev_n = int(self.map.n_kf)
+        # record the inertial state BEFORE the base insert — the base class
+        # runs local BA during insertion, which (post IMU init) reads these
+        # tables for the new keyframe row
+        a, g, d = self._buf_kf
+        pre = None
+        if len(d) > 0 and prev_n > 0:
+            pre = preintegrate_host(
+                np.asarray(a, np.float32), np.asarray(g, np.float32),
+                np.asarray(d, np.float32), self.bias, self.calib)
+        self._buf_kf = ([], [], [])
+        self.kf_pre.append(pre)
+        self.kf_vel.append(np.asarray(self.cur_vel))
+        self.kf_bias.append(self.bias)
+        self.kf_time.append(timestamp)
+
+        super()._insert_keyframe(feats, timestamp, obs)
+        if int(self.map.n_kf) == prev_n:   # insert failed/full — roll back
+            self.kf_pre.pop()
+            self.kf_vel.pop()
+            self.kf_bias.pop()
+            self.kf_time.pop()
+            return
+
+        if not self.imu_initialized:
+            self._maybe_initialize_imu()
+
+    def reset_map(self):
+        super().reset_map()
+        self.imu_initialized = False
+        self.bias = zero_bias()
+        self.cur_vel = jnp.zeros(3, jnp.float32)
+        self.kf_vel, self.kf_bias, self.kf_pre, self.kf_time = [], [], [], []
+        self._buf_kf = ([], [], [])
+
+    # -- IMU initialization ------------------------------------------------
+
+    def _inertial_factor_batch(self, lo: int, hi: int
+                               ) -> Optional[InertialFactorBatch]:
+        """Batch the stored per-KF preintegrations for KF rows [lo, hi)."""
+        pres, iis, jjs = [], [], []
+        max_len = 0
+        for k in range(max(lo + 1, 1), hi):
+            if self.kf_pre[k] is not None:
+                pres.append(self.kf_pre[k])
+                iis.append(k - 1 - lo)
+                jjs.append(k - lo)
+        if not pres:
+            return None
+        pre_b = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *pres)
+        info = jax.vmap(information_from_cov)(pre_b)
+        return InertialFactorBatch(
+            i=jnp.asarray(iis, jnp.int32), j=jnp.asarray(jjs, jnp.int32),
+            pre=pre_b, info=info, valid=jnp.ones(len(pres), bool))
+
+    def _maybe_initialize_imu(self):
+        n_kf = int(self.map.n_kf)
+        if n_kf < self.init_min_kfs:
+            return
+        if self.kf_time[-1] - self.kf_time[0] < self.init_min_time:
+            return
+        ifac = self._inertial_factor_batch(0, n_kf)
+        if ifac is None or ifac.i.shape[0] < self.init_min_kfs - 2:
+            return
+
+        poses = lie.SE3(self.map.kf_pose.R[:n_kf], self.map.kf_pose.t[:n_kf])
+        s, R_wg, bias, vel, costs = inertial_init(
+            poses, ifac, self.calib)
+        s_f = float(s)
+        if not np.isfinite(s_f) or s_f < 1e-3 or s_f > 1e3:
+            return
+
+        self._apply_scaled_rotation(s_f, R_wg)
+        self.bias = ImuBias(bias.gyro, bias.acc)
+        # velocities from the init are ALREADY metric (they pair with the
+        # scaled positions s*p in the residual) but expressed in the old
+        # world orientation — rotate only, do not rescale
+        R_gw = jnp.asarray(np.asarray(R_wg).T)
+        vel_new = jnp.einsum("ij,kj->ki", R_gw, vel)
+        self.kf_vel = [np.asarray(v) for v in vel_new]
+        self.kf_bias = [self.bias] * n_kf
+        self.cur_vel = jnp.asarray(self.kf_vel[-1])
+        # reintegrate stored windows at the estimated bias
+        # (first-order corrections handle small deltas; full reintegration
+        # would need the raw buffers — acceptable at init where bias0 = 0)
+        self.imu_initialized = True
+
+    def _apply_scaled_rotation(self, s: float, R_wg) -> None:
+        """Gauge transform of the whole map: x' = s * R_gw * x.
+
+        Reference: Map::ApplyScaledRotation (map.cc:230). Poses transform as
+        R_cw' = R_cw R_wg, t_cw' = s t_cw; velocities v' = s R_gw v.
+        """
+        m = self.map
+        R_wg = jnp.asarray(np.asarray(R_wg), jnp.float32)
+        R_gw = R_wg.T
+        kf_R = jnp.einsum("kij,jl->kil", m.kf_pose.R, R_wg)
+        kf_t = s * m.kf_pose.t
+        mp = s * jnp.einsum("ij,kj->ki", R_gw, m.mp_pos)
+        self.map = m._replace(
+            kf_pose=lie.SE3(kf_R, kf_t),
+            mp_pos=jnp.where(m.mp_valid[:, None], mp, m.mp_pos),
+        )
+        self.cur_pose = lie.SE3(self.map.kf_pose.R[self.last_kf_id],
+                                self.map.kf_pose.t[self.last_kf_id])
+        self.velocity = lie.se3_identity()
+
+    # -- local mapping -----------------------------------------------------
+
+    def _local_ba(self):
+        if not self.imu_initialized:
+            super()._local_ba()
+            return
+        cfg = self.cfg
+        n_kf = int(self.map.n_kf)
+        W = cfg.ba_window + cfg.ba_fixed_ring
+        start = max(0, n_kf - W)
+        ids = np.arange(start, n_kf, dtype=np.int32)
+        n_in = len(ids)
+        Wpad = W
+        window = np.full(Wpad, -1, np.int32)
+        window[:n_in] = ids
+        window_j = jnp.asarray(window)
+
+        kf_idx, mp_idx, uv, octv, valid = ms.observation_triples(
+            self.map, window_j)
+        inv_s2 = extractor.inv_scale_sigma2(cfg.orb)[
+            jnp.clip(octv, 0, cfg.orb.num_levels - 1)]
+        poses = lie.SE3(self.map.kf_pose.R[np.clip(window, 0, None)],
+                        self.map.kf_pose.t[np.clip(window, 0, None)])
+
+        n_fixed = max(n_in - cfg.ba_window, min(2, n_in - 1))
+        fixed_pose = np.zeros(Wpad, bool)
+        fixed_pose[:n_fixed] = True
+        fixed_pose |= (window < 0)
+        fixed_in = fixed_pose.copy()
+
+        prob = ba.make_problem(
+            poses, self.map.mp_pos, kf_idx, mp_idx, uv, inv_s2, valid,
+            jnp.asarray(fixed_pose), self.cam_params,
+            fixed_point=~self.map.mp_valid, max_obs=Wpad)
+
+        ifac = self._inertial_factor_batch(start, n_kf)
+        if ifac is None:
+            super()._local_ba()
+            return
+
+        state = VIState(
+            poses=poses,
+            vel=jnp.asarray(np.stack(
+                [self.kf_vel[k] if 0 <= k < n_kf else np.zeros(3)
+                 for k in window]), jnp.float32),
+            bg=jnp.asarray(np.stack(
+                [np.asarray(self.kf_bias[k].gyro) if 0 <= k < n_kf
+                 else np.zeros(3) for k in window]), jnp.float32),
+            ba=jnp.asarray(np.stack(
+                [np.asarray(self.kf_bias[k].acc) if 0 <= k < n_kf
+                 else np.zeros(3) for k in window]), jnp.float32),
+        )
+        new_state, new_points, costs = visual_inertial_ba(
+            state, prob, ifac, self.calib,
+            fixed_pose=jnp.asarray(fixed_pose),
+            fixed_inertial=jnp.asarray(fixed_in),
+            cam_model=cfg.cam_model,
+            iters=cfg.ba_iters_first + cfg.ba_iters_second)
+
+        ids_j = jnp.asarray(ids)
+        self.map = self.map._replace(
+            kf_pose=lie.SE3(
+                self.map.kf_pose.R.at[ids_j].set(new_state.poses.R[:n_in]),
+                self.map.kf_pose.t.at[ids_j].set(new_state.poses.t[:n_in]),
+            ),
+            mp_pos=jnp.where(self.map.mp_valid[:, None], new_points,
+                             self.map.mp_pos),
+        )
+        for slot, k in enumerate(ids):
+            self.kf_vel[k] = np.asarray(new_state.vel[slot])
+            self.kf_bias[k] = ImuBias(new_state.bg[slot],
+                                      new_state.ba[slot])
+        self.bias = self.kf_bias[n_kf - 1]
+        self.cur_vel = jnp.asarray(self.kf_vel[n_kf - 1])
+        if self.last_kf_id >= 0:
+            self.cur_pose = lie.SE3(self.map.kf_pose.R[self.last_kf_id],
+                                    self.map.kf_pose.t[self.last_kf_id])

@@ -67,16 +67,25 @@ def inertial_residual_backward(
     return jnp.concatenate([er, ev, ep])
 
 
-def information_from_cov(pre: Preintegrated, eps: float = 1e-8
-                         ) -> jnp.ndarray:
+def information_from_cov(pre: Preintegrated, eps: float = 1e-8,
+                         max_info: float = 1e6) -> jnp.ndarray:
     """(9,9) information = inverse of the [phi, v, p] covariance block.
 
-    Reference: EdgeInertial ctor inverts C.block<9,9>(0,0)
-    (g2o_types.cc). Symmetrized + jittered for fp32.
+    Reference: EdgeInertial ctor inverts C.block<9,9>(0,0) (g2o_types.cc).
+    Symmetrized, jittered, and **spectrum-capped**: a tactical-grade IMU
+    yields rotation information ~1e8, which next to ~1e2 visual blocks puts
+    the joint normal equations beyond fp32 Cholesky range (the reference
+    factorizes in double). Scaling the information so its largest diagonal
+    is <= `max_info` keeps the factor's *relative* weighting while bounding
+    the joint condition number — the statistical loss is a slightly loose
+    inertial weight, invisible next to discretization error.
     """
     C = pre.cov[:9, :9]
     C = 0.5 * (C + C.T) + eps * jnp.eye(9, dtype=C.dtype)
-    return jnp.linalg.inv(C)
+    info = jnp.linalg.inv(C)
+    scale = jnp.minimum(1.0, max_info / jnp.maximum(
+        jnp.max(jnp.diag(info)), 1.0))
+    return info * scale
 
 
 def bias_walk_residual(bias_i: ImuBias, bias_j: ImuBias

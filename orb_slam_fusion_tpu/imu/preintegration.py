@@ -171,6 +171,122 @@ def preintegrate(acc: jnp.ndarray, gyro: jnp.ndarray, dts: jnp.ndarray,
         avg_acc=sum_a / dT_safe, avg_gyro=sum_w / dT_safe)
 
 
+def preintegrate_host(acc: "np.ndarray", gyro: "np.ndarray",
+                      dts: "np.ndarray", bias: ImuBias,
+                      calib: ImuCalib) -> Preintegrated:
+    """Float64 host-side preintegration (numpy), identical semantics.
+
+    The per-frame integration runs at IMU rate (~200 Hz) on a handful of
+    measurements — scalar-sequential work that belongs on the host, and in
+    double precision: fp32 accumulation noise (~1e-3 over a 0.25 s window)
+    is amplified by the ~1e8 information of a tactical IMU and would
+    dominate the inertial cost (the reference integrates in double
+    throughout, imu_types.cc). Returns float32 device arrays for the
+    solvers.
+    """
+    import numpy as np
+
+    acc = np.asarray(acc, np.float64)
+    gyro = np.asarray(gyro, np.float64)
+    dts = np.asarray(dts, np.float64)
+    bg = np.asarray(bias.gyro, np.float64)
+    ba_ = np.asarray(bias.acc, np.float64)
+    ng2 = float(calib.noise_gyro) ** 2
+    na2 = float(calib.noise_acc) ** 2
+    wg2 = float(calib.walk_gyro) ** 2
+    wa2 = float(calib.walk_acc) ** 2
+
+    eye3 = np.eye(3)
+    dR = np.eye(3)
+    dV = np.zeros(3)
+    dP = np.zeros(3)
+    C = np.zeros((15, 15))
+    JRg = np.zeros((3, 3))
+    JVg = np.zeros((3, 3))
+    JVa = np.zeros((3, 3))
+    JPg = np.zeros((3, 3))
+    JPa = np.zeros((3, 3))
+    dT = 0.0
+    sum_a = np.zeros(3)
+    sum_w = np.zeros(3)
+    Nga = np.diag([ng2] * 3 + [na2] * 3)
+    NgaWalk = np.diag([wg2] * 3 + [wa2] * 3)
+
+    def _hat(v):
+        return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]],
+                         [-v[1], v[0], 0.0]])
+
+    def _exp(w):
+        th = np.linalg.norm(w)
+        W = _hat(w)
+        if th < 1e-9:
+            return eye3 + W + 0.5 * W @ W
+        return (eye3 + np.sin(th) / th * W
+                + (1 - np.cos(th)) / (th * th) * W @ W)
+
+    def _rightJ(w):
+        th = np.linalg.norm(w)
+        W = _hat(w)
+        if th < 1e-7:
+            return eye3 - 0.5 * W
+        return (eye3 - (1 - np.cos(th)) / (th * th) * W
+                + (th - np.sin(th)) / (th ** 3) * W @ W)
+
+    for k in range(len(dts)):
+        dt = dts[k]
+        if dt <= 0:
+            continue
+        a = acc[k] - ba_
+        w = gyro[k] - bg
+        dt2 = dt * dt
+        acc_hat = _hat(a)
+        dRa = dR @ acc_hat
+
+        dP = dP + dV * dt + 0.5 * (dR @ a) * dt2
+        dV = dV + (dR @ a) * dt
+
+        A = np.zeros((9, 9))
+        B = np.zeros((9, 6))
+        A[3:6, 0:3] = -dt * dRa
+        A[6:9, 0:3] = -0.5 * dt2 * dRa
+        A[6:9, 3:6] = dt * eye3
+        A[6:9, 6:9] = eye3
+        A[3:6, 3:6] = eye3
+        B[3:6, 3:6] = dt * dR
+        B[6:9, 3:6] = 0.5 * dt2 * dR
+
+        JPa = JPa + JVa * dt - 0.5 * dt2 * dR
+        JPg = JPg + JVg * dt - 0.5 * dt2 * dRa @ JRg
+        JVa = JVa - dt * dR
+        JVg = JVg - dt * dRa @ JRg
+
+        w_dt = w * dt
+        dRi = _exp(w_dt)
+        rJ = _rightJ(w_dt)
+        dR = dR @ dRi
+        A[0:3, 0:3] = dRi.T
+        B[0:3, 0:3] = rJ * dt
+
+        C[:9, :9] = A @ C[:9, :9] @ A.T + B @ Nga @ B.T
+        C[9:, 9:] = C[9:, 9:] + NgaWalk
+
+        JRg = dRi.T @ JRg - rJ * dt
+        dT += dt
+        sum_a += acc[k] * dt
+        sum_w += gyro[k] * dt
+
+    # re-orthonormalize
+    u, _, vt = np.linalg.svd(dR)
+    dR = u @ np.diag([1.0, 1.0, np.linalg.det(u @ vt)]) @ vt
+    dT_safe = max(dT, 1e-9)
+    f32 = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
+    return Preintegrated(
+        dT=f32(dT), dR=f32(dR), dV=f32(dV), dP=f32(dP), cov=f32(C),
+        JRg=f32(JRg), JVg=f32(JVg), JVa=f32(JVa), JPg=f32(JPg),
+        JPa=f32(JPa), bias0=bias, avg_acc=f32(sum_a / dT_safe),
+        avg_gyro=f32(sum_w / dT_safe))
+
+
 def bias_corrected_delta(pre: Preintegrated, bias: ImuBias
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """First-order bias-corrected (dR, dV, dP) at a new bias.

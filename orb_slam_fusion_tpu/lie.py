@@ -72,32 +72,36 @@ def vee(W: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
 
 
-def _sinc(x: jnp.ndarray) -> jnp.ndarray:
-    """sin(x)/x with Taylor fallback, smooth at 0."""
-    small = jnp.abs(x) < 1e-4
-    xs = jnp.where(small, 1.0, x)  # avoid 0/0 in the non-taken branch
-    return jnp.where(small, 1.0 - x * x / 6.0, jnp.sin(xs) / xs)
+def _theta_terms(w: jnp.ndarray):
+    """Differentiation-safe angle terms from a rotation vector.
 
-
-def _cosc(x: jnp.ndarray) -> jnp.ndarray:
-    """(1 - cos(x)) / x^2 with Taylor fallback."""
-    small = jnp.abs(x) < 1e-4
-    xs = jnp.where(small, 1.0, x)
-    return jnp.where(small, 0.5 - x * x / 24.0, (1.0 - jnp.cos(xs)) / (xs * xs))
+    Returns (th2_raw, small, theta_safe, th2_safe). `th2_raw = sum(w^2)` is
+    smooth everywhere (unlike `norm(w)`, whose JVP is NaN at 0) so Taylor
+    branches must be written in terms of it; the `_safe` values are only
+    valid where ~small and exist to keep the untaken general branch free of
+    0/0 in both primal and tangent computations.
+    """
+    th2_raw = jnp.sum(w * w, axis=-1)
+    small = th2_raw < 1e-8
+    th2_safe = jnp.where(small, 1.0, th2_raw)
+    theta_safe = jnp.sqrt(th2_safe)
+    return th2_raw, small, theta_safe, th2_safe
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Exponential map R^3 -> SO(3) (Rodrigues), batched.
 
-    Replaces Sophus::SO3::exp (3rdparty/Sophus/sophus/so3.hpp).
+    Replaces Sophus::SO3::exp (3rdparty/Sophus/sophus/so3.hpp). All
+    small-angle branches are polynomial in sum(w^2) so jacfwd/jacrev are
+    exact and finite at w = 0.
     """
-    theta = jnp.linalg.norm(w, axis=-1)
+    th2, small, th, _ = _theta_terms(w)
     W = hat(w)
     W2 = W @ W
-    a = _sinc(theta)[..., None, None]
-    b = _cosc(theta)[..., None, None]
+    a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / (th * th))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye + a * W + b * W2
+    return eye + a[..., None, None] * W + b[..., None, None] * W2
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
@@ -180,15 +184,13 @@ def mat_from_quat(q: jnp.ndarray) -> jnp.ndarray:
 
 def so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     """Left Jacobian J_l of SO(3): exp(w+dw) ~ exp(J_l dw) exp(w)."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    th2, small, th, _ = _theta_terms(w)
     W = hat(w)
     W2 = W @ W
-    b = _cosc(theta)[..., None, None]
-    # (theta - sin theta)/theta^3 with Taylor fallback
-    small = theta < 1e-4
-    ts = jnp.where(small, 1.0, theta)
-    c = jnp.where(small, 1.0 / 6.0 - theta * theta / 120.0,
-                  (ts - jnp.sin(ts)) / (ts ** 3))[..., None, None]
+    b = jnp.where(small, 0.5 - th2 / 24.0,
+                  (1.0 - jnp.cos(th)) / (th * th))[..., None, None]
+    c = jnp.where(small, 1.0 / 6.0 - th2 / 120.0,
+                  (th - jnp.sin(th)) / (th ** 3))[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + b * W + c * W2
 
@@ -207,16 +209,14 @@ def so3_right_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
 
     Reference semantics: imu_types.h InverseRightJacobianSO3.
     """
-    theta = jnp.linalg.norm(w, axis=-1)
+    th2, small, ts, ts2 = _theta_terms(w)
     W = hat(-w)  # J_r^{-1}(w) = J_l^{-1}(-w)
     W2 = W @ W
-    small = theta < 1e-4
-    ts = jnp.where(small, 1.0, theta)
     # coefficient: 1/theta^2 - (1+cos)/(2 theta sin)
     coef = jnp.where(
         small,
-        1.0 / 12.0 + theta * theta / 720.0,
-        1.0 / (ts * ts) - (1.0 + jnp.cos(ts)) / (2.0 * ts * jnp.sin(ts)),
+        1.0 / 12.0 + th2 / 720.0,
+        1.0 / ts2 - (1.0 + jnp.cos(ts)) / (2.0 * ts * jnp.sin(ts)),
     )[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye - 0.5 * W + coef * W2
@@ -335,21 +335,18 @@ def _sim3_W(w: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     Taylor expansions so the function stays smooth.
     """
     dtype = w.dtype
-    theta = jnp.linalg.norm(w, axis=-1)
+    th2_raw, small_th, th_s, th2 = _theta_terms(w)
     Wx = hat(w)
     Wx2 = Wx @ Wx
     s = jnp.exp(sigma)
 
     small_sig = jnp.abs(sigma) < 1e-5
-    small_th = theta < 1e-5
     sig_s = jnp.where(small_sig, 1.0, sigma)
-    th_s = jnp.where(small_th, 1.0, theta)
 
     # C = (s - 1) / sigma, -> 1 as sigma -> 0
     C = jnp.where(small_sig, 1.0 + sigma / 2.0 + sigma * sigma / 6.0,
                   (s - 1.0) / sig_s)
 
-    th2 = th_s * th_s
     sig2 = sig_s * sig_s
     denom = sig2 + th2
 
@@ -363,10 +360,11 @@ def _sim3_W(w: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     ) / th2
 
     # sigma -> 0 limits (pure SO(3) left Jacobian):
-    A_sig0 = _cosc(theta)
+    A_sig0 = jnp.where(small_th, 0.5 - th2_raw / 24.0,
+                       (1.0 - jnp.cos(th_s)) / th2)
     B_sig0 = jnp.where(
         small_th,
-        1.0 / 6.0 - th2 / 120.0,
+        1.0 / 6.0 - th2_raw / 120.0,
         (th_s - jnp.sin(th_s)) / (th_s ** 3),
     )
 

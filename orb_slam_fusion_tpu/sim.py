@@ -41,12 +41,21 @@ def make_corridor_world(
 ) -> SyntheticWorld:
     """Points in a corridor volume; camera advances with gentle yaw/sway."""
     rng = np.random.RandomState(seed)
-    length = 3.0 + 0.25 * n_frames
-    pts = np.stack([
-        rng.uniform(-4.0, 4.0, n_points),
-        rng.uniform(-2.5, 2.5, n_points),
-        rng.uniform(0.0, length, n_points),
-    ], axis=1).astype(np.float32)
+    if motion == "circle":
+        # points surround the whole orbit (radius 3 circle centered at
+        # (0, 0, 3)) so every heading sees structure
+        pts = np.stack([
+            rng.uniform(-9.0, 9.0, n_points),
+            rng.uniform(-2.5, 2.5, n_points),
+            rng.uniform(-6.0, 12.0, n_points),
+        ], axis=1).astype(np.float32)
+    else:
+        length = 3.0 + 0.25 * n_frames
+        pts = np.stack([
+            rng.uniform(-4.0, 4.0, n_points),
+            rng.uniform(-2.5, 2.5, n_points),
+            rng.uniform(0.0, length, n_points),
+        ], axis=1).astype(np.float32)
     desc = rng.randint(0, 2 ** 32, size=(n_points, 8), dtype=np.uint64)
     desc = desc.astype(np.uint32)
 
@@ -63,6 +72,16 @@ def make_corridor_world(
             yaw = 0.15 * np.sin(2.0 * np.pi * s)
             pitch = 0.05 * np.sin(4.0 * np.pi * s)
             w = np.array([pitch, yaw, 0.0], np.float32)
+        elif motion == "circle":
+            # closed loop: camera orbits a circle (radius ~ corridor width),
+            # heading tangentially — frame 0 and frame n-1 see the same
+            # scene, which exercises loop closing.
+            ang = 2.0 * np.pi * s
+            r_c = 3.0
+            pos_w = np.array([r_c * np.sin(ang), 0.0, r_c * (1 - np.cos(ang))])
+            # camera forward (+z, = [sin yaw, 0, cos yaw] in world) follows
+            # the tangent [cos ang, 0, sin ang] => yaw = pi/2 - ang
+            w = np.array([0.0, np.pi / 2 - ang, 0.0], np.float32)
         else:  # straight
             pos_w = np.array([0.0, 0.0, 0.18 * k])
             w = np.zeros(3, np.float32)
@@ -136,11 +155,13 @@ def render_frame(
     dropout: float = 0.1,
     seed: int = 0,
     cam_model: str = cameras.PINHOLE,
+    pose_override: Optional[lie.SE3] = None,
 ) -> Features:
     """Observe the world from frame's GT pose -> fixed-capacity Features."""
     rng = np.random.RandomState(seed * 100003 + frame)
     h, w = image_size
-    pose = lie.SE3(world.poses.R[frame], world.poses.t[frame])
+    pose = pose_override if pose_override is not None else \
+        lie.SE3(world.poses.R[frame], world.poses.t[frame])
     pc = np.asarray(lie.se3_apply(pose, jnp.asarray(world.points)))
     uv = np.asarray(cameras.project(cam_model, cam_params, jnp.asarray(pc)))
     vis = (pc[:, 2] > 0.3) & (pc[:, 2] < 40.0) \
@@ -182,6 +203,113 @@ def render_frame(
         desc=jnp.asarray(f_desc),
         valid=jnp.asarray(f_val),
     )
+
+
+def render_stereo_frame(world: SyntheticWorld, frame: int, cam_params,
+                        image_size, n_features: int, baseline: float,
+                        seed: int = 0, **kw):
+    """Render a rectified stereo pair: right camera displaced by `baseline`
+    along the left camera's x axis. Returns (featsL, featsR)."""
+    pose_l = lie.SE3(world.poses.R[frame], world.poses.t[frame])
+    # x_r = x_l - b  =>  T_rw = T_rl o T_lw with T_rl = (I, [-b,0,0])
+    pose_r = lie.SE3(pose_l.R, pose_l.t + jnp.array([-baseline, 0.0, 0.0]))
+    fL = render_frame(world, frame, cam_params, image_size, n_features,
+                      seed=seed, **kw)
+    fR = render_frame(world, frame, cam_params, image_size, n_features,
+                      seed=seed + 1, pose_override=pose_r, **kw)
+    return fL, fR
+
+
+class VioSequence(NamedTuple):
+    world: SyntheticWorld          # points/descriptors/frame poses (camera)
+    frame_imu: list                # per frame: (acc (N,3), gyro (N,3), t (N,))
+    vel: np.ndarray                # (T,3) GT body velocity in world
+    gravity: np.ndarray            # (3,)
+
+
+def make_vio_sequence(
+    n_frames: int = 120,
+    fps: float = 20.0,
+    imu_rate: float = 200.0,
+    n_points: int = 5000,
+    seed: int = 0,
+    gyro_noise: float = 0.0,
+    acc_noise: float = 0.0,
+    gyro_bias: float = 0.0,
+    acc_bias: float = 0.0,
+) -> VioSequence:
+    """Monocular-inertial synthetic sequence with exactly consistent IMU.
+
+    Body accelerations/rates are sampled at IMU rate and Euler-integrated
+    (same discretization as the preintegrator) to produce the frame poses,
+    so preintegration residuals at ground truth are ~machine precision.
+    Camera frame = body frame (Tbc = I); world z is up-negated gravity.
+    """
+    rng = np.random.RandomState(seed)
+    g_w = np.array([0.0, 0.0, -9.81])
+    dt = 1.0 / imu_rate
+    n_imu = int(round(imu_rate / fps))
+    total = n_frames * n_imu
+
+    # analytic body-rate / world-acceleration profiles (gentle flight)
+    tt = np.arange(total) * dt
+    T_total = n_frames / fps
+    a_w = np.stack([
+        0.6 * np.sin(2 * np.pi * tt / T_total * 2.0),
+        0.4 * np.sin(2 * np.pi * tt / T_total * 3.0 + 1.0),
+        0.3 * np.sin(2 * np.pi * tt / T_total * 1.5 + 2.0),
+    ], axis=1)
+    w_b = np.stack([
+        0.10 * np.sin(2 * np.pi * tt / T_total * 1.0),
+        0.25 * np.sin(2 * np.pi * tt / T_total * 0.5),
+        0.05 * np.sin(2 * np.pi * tt / T_total * 2.0 + 0.7),
+    ], axis=1)
+
+    bg = rng.randn(3) * gyro_bias
+    ba_ = rng.randn(3) * acc_bias
+
+    R = np.eye(3)
+    p = np.zeros(3)
+    v = np.array([0.25, 0.05, 0.6])   # initial velocity (forward = +z-ish)
+    Rs, ts, vels = [], [], []
+    accs = np.zeros((total, 3))
+    gyros = np.zeros((total, 3))
+    for k in range(total):
+        if k % n_imu == 0:
+            Rs.append(R.T.copy())            # R_cw = R_wb^T (cam = body)
+            ts.append((-R.T @ p).copy())
+            vels.append(v.copy())
+        accs[k] = R.T @ (a_w[k] - g_w) + ba_ \
+            + rng.randn(3) * acc_noise
+        gyros[k] = w_b[k] + bg + rng.randn(3) * gyro_noise
+        p = p + v * dt + 0.5 * a_w[k] * dt * dt
+        v = v + a_w[k] * dt
+        Rtmp = np.asarray(lie.so3_exp(jnp.asarray(w_b[k] * dt)))
+        R = R @ Rtmp
+
+    poses = lie.SE3(jnp.asarray(np.stack(Rs), jnp.float32),
+                    jnp.asarray(np.stack(ts), jnp.float32))
+    timestamps = np.arange(n_frames) / fps
+
+    # world points around the traversed volume
+    centers = -np.einsum("kji,kj->ki", np.stack(Rs), np.stack(ts))
+    lo = centers.min(axis=0) - 4.0
+    hi = centers.max(axis=0) + 4.0
+    hi[2] = max(hi[2], lo[2] + 12.0)
+    pts = rng.uniform(lo, hi, size=(n_points, 3)).astype(np.float32)
+    desc = rng.randint(0, 2 ** 32, size=(n_points, 8),
+                       dtype=np.uint64).astype(np.uint32)
+    world = SyntheticWorld(pts, desc, poses, timestamps)
+
+    frame_imu = []
+    for f in range(n_frames):
+        sl = slice(f * n_imu, (f + 1) * n_imu)
+        t_meas = tt[sl] + dt  # measurement timestamps (end of each step)
+        frame_imu.append((accs[sl].astype(np.float32),
+                          gyros[sl].astype(np.float32),
+                          t_meas.astype(np.float64)))
+    return VioSequence(world=world, frame_imu=frame_imu,
+                       vel=np.stack(vels), gravity=g_w)
 
 
 def gt_positions(world: SyntheticWorld) -> np.ndarray:

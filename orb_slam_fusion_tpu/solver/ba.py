@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import cameras, lie
-from .robust import CHI2_2D, huber_rho, huber_weight
+from .robust import CHI2_2D, CHI2_3D, huber_rho, huber_weight
 
 
 class BAProblem(NamedTuple):
@@ -67,6 +67,13 @@ class BAProblem(NamedTuple):
     cam_params: jnp.ndarray
     lm_factor_idx: jnp.ndarray
     lm_factor_valid: jnp.ndarray
+    # stereo extension (reference: EdgeStereoSE3ProjectXYZ 3-dim residual
+    # (u_L, v, u_R), optimizable_types.h / g2o_types.h:389): u_right holds
+    # the observed right-image u for factors with stereo_mask set; bf is
+    # the stereo baseline times fx (reference mbf).
+    u_right: jnp.ndarray = None      # (F,) float32
+    stereo_mask: jnp.ndarray = None  # (F,) bool
+    bf: jnp.ndarray = None           # () float32
 
 
 def build_landmark_groups(mp_idx: np.ndarray, num_points: int,
@@ -102,13 +109,19 @@ def build_landmark_groups(mp_idx: np.ndarray, num_points: int,
 
 def make_problem(poses: lie.SE3, points, kf_idx, mp_idx, uv, inv_sigma2,
                  valid, fixed_pose, cam_params, fixed_point=None,
-                 max_obs: Optional[int] = None) -> BAProblem:
+                 max_obs: Optional[int] = None, u_right=None,
+                 stereo_mask=None, bf=0.0) -> BAProblem:
     """Convenience constructor that builds the landmark grouping."""
     lm_idx, lm_valid = build_landmark_groups(
         np.asarray(mp_idx), int(points.shape[0]), max_obs,
         np.asarray(valid))
     if fixed_point is None:
         fixed_point = jnp.zeros(points.shape[0], dtype=bool)
+    F = np.asarray(kf_idx).shape[0]
+    if u_right is None:
+        u_right = jnp.zeros(F, jnp.float32)
+    if stereo_mask is None:
+        stereo_mask = jnp.zeros(F, bool)
     return BAProblem(
         poses=poses,
         points=jnp.asarray(points),
@@ -122,12 +135,21 @@ def make_problem(poses: lie.SE3, points, kf_idx, mp_idx, uv, inv_sigma2,
         cam_params=jnp.asarray(cam_params),
         lm_factor_idx=jnp.asarray(lm_idx),
         lm_factor_valid=jnp.asarray(lm_valid),
+        u_right=jnp.asarray(u_right, jnp.float32),
+        stereo_mask=jnp.asarray(stereo_mask, bool),
+        bf=jnp.asarray(bf, jnp.float32),
     )
 
 
 def _eval_factors(poses: lie.SE3, points: jnp.ndarray, prob: BAProblem,
                   cam_model: str):
-    """Residuals (F,2), J_pose (F,2,6), J_point (F,2,3), depth mask (F,)."""
+    """Residuals (F,R), J_pose (F,R,6), J_point (F,R,3), depth mask (F,).
+
+    R = 2 for pure-mono problems; when the problem carries stereo factors
+    (stereo_mask set) R = 3 with the third row the right-image u residual
+    u_R = u_L - bf/z (reference EdgeStereoSE3ProjectXYZ::computeError),
+    weight-masked to zero for monocular factors.
+    """
     Rk = poses.R[prob.kf_idx]      # (F,3,3)
     tk = poses.t[prob.kf_idx]      # (F,3)
     Xw = points[prob.mp_idx]       # (F,3)
@@ -141,10 +163,34 @@ def _eval_factors(poses: lie.SE3, points: jnp.ndarray, prob: BAProblem,
          -lie.hat(pc)],
         axis=-1,
     )  # (F,3,6)
-    J_pose = jnp.einsum("fij,fjk->fik", Jproj, Jpc_pose)  # (F,2,6)
-    J_point = jnp.einsum("fij,fjk->fik", Jproj, Rk)       # (F,2,3)
+
+    use_stereo = (prob.stereo_mask is not None
+                  and prob.stereo_mask.shape[0] == r.shape[0])
+    if use_stereo:
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        ur_pred = pred[..., 0] - prob.bf / z
+        r3 = jnp.where(prob.stereo_mask, ur_pred - prob.u_right, 0.0)
+        r = jnp.concatenate([r, r3[..., None]], axis=-1)       # (F,3)
+        # d(ur)/d(pc) = d(u)/d(pc) + [0, 0, bf/z^2]
+        dur = Jproj[:, 0, :] + jnp.stack(
+            [jnp.zeros_like(z), jnp.zeros_like(z), prob.bf / (z * z)],
+            axis=-1)
+        dur = jnp.where(prob.stereo_mask[:, None], dur, 0.0)
+        Jproj = jnp.concatenate([Jproj, dur[:, None, :]], axis=1)  # (F,3,3)
+
+    J_pose = jnp.einsum("fij,fjk->fik", Jproj, Jpc_pose)
+    J_point = jnp.einsum("fij,fjk->fik", Jproj, Rk)
     depth_ok = pc[..., 2] > 1e-4
     return r, J_pose, J_point, depth_ok
+
+
+def _factor_chi2_th(prob: BAProblem, chi2_th) -> jnp.ndarray:
+    """Per-factor chi2 threshold: stereo factors are 3-dof (reference uses
+    7.815 vs 5.991, optimizer.cc:118,151)."""
+    ratio = CHI2_3D / CHI2_2D
+    if prob.stereo_mask is None:
+        return jnp.asarray(chi2_th)
+    return jnp.where(prob.stereo_mask, chi2_th * ratio, chi2_th)
 
 
 def _robust_cost(r, inv_sigma2, active, chi2_th):
@@ -163,7 +209,8 @@ def _lm_step(poses: lie.SE3, points: jnp.ndarray, lam: jnp.ndarray,
     r, Jp, Jl, depth_ok = _eval_factors(poses, points, prob, cam_model)
     active = prob.valid & inlier & depth_ok
     chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
-    w_rob = huber_weight(chi2, chi2_th) if use_robust else jnp.ones_like(chi2)
+    th_f = _factor_chi2_th(prob, chi2_th)
+    w_rob = huber_weight(chi2, th_f) if use_robust else jnp.ones_like(chi2)
     w = jnp.where(active, w_rob * prob.inv_sigma2, 0.0).astype(dtype)  # (F,)
 
     # Per-factor weighted blocks.
@@ -257,14 +304,15 @@ def _lm_run(poses, points, inlier, prob: BAProblem, cam_model: str,
         poses, points, lam = carry
         r, _, _, depth_ok = _eval_factors(poses, points, prob, cam_model)
         active = prob.valid & inlier & depth_ok
-        cost0, _ = _robust_cost(r, prob.inv_sigma2, active, chi2_th)
+        th_f = _factor_chi2_th(prob, chi2_th)
+        cost0, _ = _robust_cost(r, prob.inv_sigma2, active, th_f)
 
         cand_poses, cand_points, _ = _lm_step(
             poses, points, lam, inlier, prob, cam_model, chi2_th, use_robust)
 
         r1, _, _, d1 = _eval_factors(cand_poses, cand_points, prob, cam_model)
         active1 = prob.valid & inlier & d1
-        cost1, _ = _robust_cost(r1, prob.inv_sigma2, active1, chi2_th)
+        cost1, _ = _robust_cost(r1, prob.inv_sigma2, active1, th_f)
 
         # NaN guard: a diverged solve (near-singular reduced system) must be
         # rejected even though its NaN factors fall out of the masked cost.
@@ -308,9 +356,10 @@ def bundle_adjustment(
         prob.poses, prob.points, inlier, prob, cam_model,
         iters_first, chi2_th, True)
 
+    th_f = _factor_chi2_th(prob, chi2_th)
     r, _, _, depth_ok = _eval_factors(poses, points, prob, cam_model)
     chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
-    inlier = (chi2 <= chi2_th) & depth_ok & prob.valid
+    inlier = (chi2 <= th_f) & depth_ok & prob.valid
 
     poses, points, costs2 = _lm_run(
         poses, points, inlier, prob, cam_model,
@@ -318,5 +367,5 @@ def bundle_adjustment(
 
     r, _, _, depth_ok = _eval_factors(poses, points, prob, cam_model)
     chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
-    inlier = (chi2 <= chi2_th) & depth_ok & prob.valid
+    inlier = (chi2 <= th_f) & depth_ok & prob.valid
     return poses, points, inlier, jnp.concatenate([costs1, costs2])
