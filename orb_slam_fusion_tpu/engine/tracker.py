@@ -145,10 +145,20 @@ class MonoTracker:
         self.reloc_grace_frames = 40  # ~2 s at 20 fps (reference
         # time_recently_lost = 5 s, tracking.h:309 — shortened because the
         # fresh-map fallback is cheap here)
+        # multi-map atlas (reference: Atlas + MergeLocal)
+        from ..map.atlas import Atlas
+        self.atlas = Atlas()
+        self.enable_atlas = config.loop_closing  # needs the BoW database
+        self._merge_cooldown = 0
 
     def reset_map(self):
-        """Discard the map and start over (keeps the trajectory log)."""
+        """Archive the current map into the atlas and start a fresh one
+        (reference: Tracking::CreateMapInAtlas, tracking.cc:1988)."""
         cfg = self.cfg
+        if (self.enable_atlas and self.loop_closer is not None
+                and int(self.map.n_kf) >= 5):
+            self.atlas.archive(self.map, self.loop_closer.db.bow,
+                               self.loop_closer.db.present)
         self.map = ms.make_empty_map(
             cfg.max_keyframes, cfg.max_map_points, cfg.orb.n_features)
         self.state = TrackState.NOT_INITIALIZED
@@ -516,6 +526,110 @@ class MonoTracker:
         if self.loop_closer is not None:
             self.loop_closer.add_keyframe(kf_id, feats.desc, feats.valid)
             self.loop_closer.try_close(self)
+            if self.enable_atlas and len(self.atlas) > 0:
+                self._try_merge_maps(feats)
+
+    def _try_merge_maps(self, feats) -> bool:
+        """Cross-map place recognition + merge (reference: LoopClosing::
+        NewDetectCommonRegions across atlas maps -> MergeLocal,
+        loopclosing.cc:1116). The newest keyframe is queried against every
+        archived map's BoW matrix; a Sim3-verified hit welds the ACTIVE map
+        into the archived one and continues tracking there."""
+        from ..place.database import _query
+        from ..solver.sim3 import optimize_sim3, sim3_ransac
+        from ..map.atlas import merge_maps
+
+        if self._merge_cooldown > 0:
+            self._merge_cooldown -= 1
+            return False
+        if int(self.map.n_kf) < 5:
+            return False
+        cur = self.last_kf_id
+        m = self.map
+        q = self.loop_closer.db.compute_bow(m.kf_desc[cur],
+                                            m.kf_feat_valid[cur])
+        for ai, arch in enumerate(self.atlas.archived):
+            ids, scores = _query(arch.bow, arch.present, q,
+                                 jnp.zeros(arch.present.shape[0], bool), 2)
+            for cand in np.asarray(ids):
+                if cand < 0:
+                    continue
+                if self._verify_and_merge(feats, int(cand), ai):
+                    return True
+        self._merge_cooldown = 5
+        return False
+
+    def _verify_and_merge(self, feats, cand: int, archive_idx: int) -> bool:
+        from ..solver.sim3 import optimize_sim3, sim3_ransac
+        from ..map.atlas import merge_maps
+        cur = self.last_kf_id
+        m_new = self.map
+        m_old = self.atlas.archived[archive_idx].map
+        F = m_new.n_feat
+
+        cand_has = m_old.kf_feat_valid[cand] & (m_old.kf_obs_mp[cand] >= 0)
+        cur_has = m_new.kf_feat_valid[cur] & (m_new.kf_obs_mp[cur] >= 0)
+        idx, ok = matcher.match_mutual(
+            m_old.kf_desc[cand], cand_has, m_new.kf_desc[cur], cur_has,
+            max_dist=matcher.TH_LOW)
+        if int(jnp.sum(ok)) < 20:
+            return False
+        idx_c = jnp.clip(idx, 0, F - 1)
+        mp_old = jnp.clip(m_old.kf_obs_mp[cand], 0, m_old.max_mp - 1)
+        mp_new_row = m_new.kf_obs_mp[cur][idx_c]
+        mp_new = jnp.clip(mp_new_row, 0, m_new.max_mp - 1)
+        pair_ok = ok & (mp_new_row >= 0)
+
+        pose_old = lie.SE3(m_old.kf_pose.R[cand], m_old.kf_pose.t[cand])
+        pose_new = lie.SE3(m_new.kf_pose.R[cur], m_new.kf_pose.t[cur])
+        x1 = lie.se3_apply(pose_old, m_old.mp_pos[mp_old])  # archived cam
+        x2 = lie.se3_apply(pose_new, m_new.mp_pos[mp_new])  # current cam
+        uv1 = m_old.kf_uv[cand]
+        uv2 = m_new.kf_uv[cur][idx_c]
+        res = sim3_ransac(
+            x1, x2, pair_ok, uv1, uv2, self.cam_params,
+            jax.random.PRNGKey(cur * 31 + cand),
+            min_inliers=15, cam_model=self.cfg.cam_model)
+        if not bool(res.ok):
+            return False
+        S_c, inlier, n_in = optimize_sim3(
+            res.sim, x1, x2, pair_ok, uv1, uv2,
+            jnp.ones(F), jnp.ones(F), self.cam_params,
+            cam_model=self.cfg.cam_model)
+        if int(n_in) < 20:
+            return False
+
+        # world-level transform: x_newcam = S_c(x_oldcam);
+        # S_{old_w -> new_w} = pose_new^-1 o S_c o pose_old
+        S_old_to_new = lie.sim3_compose(
+            lie.sim3_from_se3(lie.se3_inverse(pose_new)),
+            lie.sim3_compose(S_c, lie.sim3_from_se3(pose_old)))
+        S_new_to_old = lie.sim3_inverse(S_old_to_new)
+
+        merged, kf_off, mp_off = merge_maps(m_old, m_new, S_new_to_old)
+        if merged is None:
+            return False
+
+        # adopt the merged map
+        arch = self.atlas.archived.pop(archive_idx)
+        self.map = merged
+        self.last_kf_id = cur + kf_off
+        # transform tracker pose into the old world
+        C = -jnp.einsum("ji,j->i", pose_new.R, pose_new.t)
+        C2 = lie.sim3_apply(S_new_to_old, C)
+        R2 = pose_new.R @ S_new_to_old.R.T
+        self.cur_pose = lie.SE3(R2, -R2 @ C2)
+        self.velocity = lie.se3_identity()
+        # rebuild the BoW database: archived rows + current rows shifted
+        db = self.loop_closer.db
+        n_new = int(m_new.n_kf)
+        new_bow = arch.bow.at[kf_off: kf_off + n_new].set(db.bow[:n_new])
+        new_present = arch.present.at[kf_off: kf_off + n_new].set(
+            db.present[:n_new])
+        db.bow = new_bow
+        db.present = new_present
+        self._merge_cooldown = 20
+        return True
 
     def _fuse_into_keyframe(self, kf_id: int):
         """Merge map-point duplicates visible in keyframe `kf_id`.

@@ -87,24 +87,19 @@ def build_landmark_groups(mp_idx: np.ndarray, num_points: int,
     they still contribute to the block diagonals; to keep exactness choose
     max_obs >= max observations per landmark (the default).
     """
+    from ..native_bridge import build_landmark_groups as _native_groups
+
     mp_idx = np.asarray(mp_idx)
     if valid is None:
         valid = np.ones(len(mp_idx), dtype=bool)
-    counts = np.zeros(num_points, dtype=np.int64)
-    vrows = np.nonzero(valid)[0]
-    np.add.at(counts, mp_idx[vrows], 1)
-    O = int(max_obs if max_obs is not None else max(1, counts.max() if len(counts) else 1))
-    idx = np.zeros((num_points, O), dtype=np.int32)
-    mask = np.zeros((num_points, O), dtype=bool)
-    cursor = np.zeros(num_points, dtype=np.int64)
-    for f in vrows:
-        l = mp_idx[f]
-        c = cursor[l]
-        if c < O:
-            idx[l, c] = f
-            mask[l, c] = True
-            cursor[l] = c + 1
-    return idx, mask
+    if max_obs is None:
+        counts = np.zeros(num_points, dtype=np.int64)
+        np.add.at(counts, mp_idx[np.nonzero(valid)[0]], 1)
+        max_obs = int(max(1, counts.max() if len(counts) else 1))
+    # hot host path (every local-BA problem build) — native C++ with a
+    # pure-python fallback inside the bridge
+    return _native_groups(mp_idx, np.asarray(valid), num_points,
+                          int(max_obs))
 
 
 def make_problem(poses: lie.SE3, points, kf_idx, mp_idx, uv, inv_sigma2,
