@@ -62,42 +62,6 @@ class StereoTracker(MonoTracker):
         return self.process_stereo_features(fL, fR, timestamp)
 
 
-class RgbdTracker(StereoTracker):
-    """RGB-D SLAM session.
-
-    Reference: Tracking::GrabImageRGBD + Frame::ComputeStereoFromRGBD
-    (src/map/frame.cc): per-feature depth is converted into a virtual
-    right-image coordinate u_R = u_L - bf/z, after which the entire stereo
-    machinery (instant bootstrap, stereo residuals, depth-seeded points)
-    applies unchanged.
-    """
-
-    def process_rgbd_features(self, feats: extractor.Features,
-                              depth: jnp.ndarray, timestamp: float
-                              ) -> FrameRecord:
-        """depth: (N,) metric depth per feature (<=0 = no depth)."""
-        has = feats.valid & (depth > 0.05)
-        u_right = jnp.where(has, feats.uv[:, 0] - self.bf /
-                            jnp.maximum(depth, 1e-6), -1.0)
-        self._cur_uright = u_right
-        self._cur_has_stereo = has
-        if self.state in (TrackState.NO_IMAGES, TrackState.NOT_INITIALIZED):
-            rec = self._stereo_initialize(feats, timestamp)
-            self.frame_id += 1
-            self.trajectory.append(rec)
-            return rec
-        return self.process_features(feats, timestamp)
-
-    def process_rgbd_images(self, img, depth_img, timestamp: float
-                            ) -> FrameRecord:
-        feats = extractor.extract_features(img, self.cfg.orb)
-        # sample the depth image at keypoint locations (nearest neighbor)
-        h, w = depth_img.shape
-        xi = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, h - 1)
-        depth = depth_img[yi, xi]
-        return self.process_rgbd_features(feats, depth, timestamp)
-
     # -- initialization ----------------------------------------------------
 
     def _stereo_initialize(self, feats, timestamp) -> FrameRecord:
@@ -229,3 +193,40 @@ class RgbdTracker(StereoTracker):
         if self.last_kf_id >= 0 and n_in_window > 0:
             self.cur_pose = lie.SE3(self.map.kf_pose.R[self.last_kf_id],
                                     self.map.kf_pose.t[self.last_kf_id])
+
+
+class RgbdTracker(StereoTracker):
+    """RGB-D SLAM session.
+
+    Reference: Tracking::GrabImageRGBD + Frame::ComputeStereoFromRGBD
+    (src/map/frame.cc): per-feature depth is converted into a virtual
+    right-image coordinate u_R = u_L - bf/z, after which the entire stereo
+    machinery (instant bootstrap, stereo residuals, depth-seeded points)
+    applies unchanged.
+    """
+
+    def process_rgbd_features(self, feats: extractor.Features,
+                              depth: jnp.ndarray, timestamp: float
+                              ) -> FrameRecord:
+        """depth: (N,) metric depth per feature (<=0 = no depth)."""
+        has = feats.valid & (depth > 0.05)
+        u_right = jnp.where(has, feats.uv[:, 0] - self.bf /
+                            jnp.maximum(depth, 1e-6), -1.0)
+        self._cur_uright = u_right
+        self._cur_has_stereo = has
+        if self.state in (TrackState.NO_IMAGES, TrackState.NOT_INITIALIZED):
+            rec = self._stereo_initialize(feats, timestamp)
+            self.frame_id += 1
+            self.trajectory.append(rec)
+            return rec
+        return self.process_features(feats, timestamp)
+
+    def process_rgbd_images(self, img, depth_img, timestamp: float
+                            ) -> FrameRecord:
+        feats = extractor.extract_features(img, self.cfg.orb)
+        # sample the depth image at keypoint locations (nearest neighbor)
+        h, w = depth_img.shape
+        xi = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, h - 1)
+        depth = depth_img[yi, xi]
+        return self.process_rgbd_features(feats, depth, timestamp)

@@ -37,6 +37,7 @@ from ..frontend import extractor, matcher
 from ..map import map_state as ms
 from ..solver import ba, pose_opt
 from ..utils import masked_set
+from ..utils.timing import STAGES, stage
 from .config import SlamConfig
 
 
@@ -175,16 +176,19 @@ class MonoTracker:
     # -- public API --------------------------------------------------------
 
     def process_image(self, img: jnp.ndarray, timestamp: float) -> FrameRecord:
-        feats = extractor.extract_features(img, self.cfg.orb)
+        with stage("orb_extract"):
+            feats = extractor.extract_features(img, self.cfg.orb)
         return self.process_features(feats, timestamp)
 
     def process_features(self, feats: extractor.Features,
                          timestamp: float) -> FrameRecord:
         """Main per-frame entry (reference: Tracking::Track)."""
         if self.state in (TrackState.NO_IMAGES, TrackState.NOT_INITIALIZED):
-            rec = self._try_initialize(feats, timestamp)
+            with stage("initialize"):
+                rec = self._try_initialize(feats, timestamp)
         elif self.state == TrackState.OK:
-            rec = self._track_frame(feats, timestamp)
+            with stage("track_frame"):
+                rec = self._track_frame(feats, timestamp)
         else:  # LOST: relocalize against the existing map for a grace
             # window (reference RECENTLY_LOST, tracking.cc:1403-1448), then
             # give up and start a fresh map (stand-in for CreateMapInAtlas,
@@ -389,7 +393,8 @@ class MonoTracker:
         self.frames_since_kf += 1
 
         if self._need_new_keyframe(n_inliers):
-            self._insert_keyframe(feats, timestamp, obs)
+            with stage("keyframe_insert"):
+                self._insert_keyframe(feats, timestamp, obs)
 
         return FrameRecord(timestamp, self.cur_pose, n_inliers, "ok")
 
@@ -525,7 +530,8 @@ class MonoTracker:
 
         if self.loop_closer is not None:
             self.loop_closer.add_keyframe(kf_id, feats.desc, feats.valid)
-            self.loop_closer.try_close(self)
+            with stage("loop_closing"):
+                self.loop_closer.try_close(self)
             if self.enable_atlas and len(self.atlas) > 0:
                 self._try_merge_maps(feats)
 
@@ -733,10 +739,13 @@ class MonoTracker:
             poses, self.map.mp_pos, kf_idx, mp_idx, uv, inv_s2, valid,
             jnp.asarray(fixed), self.cam_params,
             fixed_point=~self.map.mp_valid, max_obs=W)
-        new_poses, new_points, inlier, _ = ba.bundle_adjustment(
-            prob, cam_model=cfg.cam_model,
-            iters_first=cfg.ba_iters_first,
-            iters_second=cfg.ba_iters_second)
+        STAGES.bump("num_OptKF_BA", max(0, n_in_window - 2))
+        STAGES.bump("num_edges_BA", int(np.asarray(valid).sum()))
+        with stage("local_ba"):
+            new_poses, new_points, inlier, _ = ba.bundle_adjustment(
+                prob, cam_model=cfg.cam_model,
+                iters_first=cfg.ba_iters_first,
+                iters_second=cfg.ba_iters_second)
 
         # write back window poses (host-known distinct indices — no
         # duplicate-scatter hazards) + all points

@@ -37,13 +37,22 @@ from ..solver.vi_ba import (InertialFactorBatch, VIState, body_state,
 from ..frontend import extractor
 from .config import SlamConfig
 from .tracker import FrameRecord, MonoTracker, TrackState
+from .stereo_tracker import StereoTracker
 
 
-class VioTracker(MonoTracker):
-    """Monocular-inertial SLAM session."""
+class InertialMixin:
+    """IMU machinery shared by the mono- and stereo-inertial trackers.
 
-    def __init__(self, config: SlamConfig, calib: ImuCalib):
-        super().__init__(config)
+    Mix into a visual tracker class (MonoTracker / StereoTracker); the
+    visual base provides tracking/mapping, this mixin adds preintegration,
+    IMU prediction, staged initialization and visual-inertial local BA.
+    `_imu_optimize_scale` controls whether the init estimates a scale
+    (monocular) or trusts the visual metric scale (stereo/RGB-D).
+    """
+
+    _imu_optimize_scale = True
+
+    def _init_inertial(self, calib: ImuCalib):
         self.calib = calib
         self.imu_initialized = False
         self.gravity_w = jnp.array([0.0, 0.0, -GRAVITY], jnp.float32)
@@ -88,9 +97,13 @@ class VioTracker(MonoTracker):
                 and self.state == TrackState.OK:
             self._predict_with_imu(pre_frame)
 
-        rec = self.process_features(feats, timestamp)
+        rec = self._process_visual(feats, timestamp)
         self._last_frame_time = timestamp
         return rec
+
+    def _process_visual(self, feats, timestamp) -> FrameRecord:
+        """Visual routing hook — stereo subclasses bootstrap differently."""
+        return self.process_features(feats, timestamp)
 
     # -- prediction --------------------------------------------------------
 
@@ -130,6 +143,17 @@ class VioTracker(MonoTracker):
             self.kf_bias.append(self.bias)
             self.kf_time.append(timestamp)
         self._buf_kf = ([], [], [])
+
+    def _stereo_initialize(self, feats, timestamp):
+        rec = super()._stereo_initialize(feats, timestamp)
+        n_kf = int(self.map.n_kf)
+        while len(self.kf_pre) < n_kf:
+            self.kf_pre.append(None)
+            self.kf_vel.append(np.zeros(3, np.float32))
+            self.kf_bias.append(self.bias)
+            self.kf_time.append(timestamp)
+        self._buf_kf = ([], [], [])
+        return rec
 
     def _insert_keyframe(self, feats, timestamp, obs):
         prev_n = int(self.map.n_kf)
@@ -199,8 +223,9 @@ class VioTracker(MonoTracker):
 
         poses = lie.SE3(self.map.kf_pose.R[:n_kf], self.map.kf_pose.t[:n_kf])
         s, R_wg, bias, vel, costs = inertial_init(
-            poses, ifac, self.calib)
-        s_f = float(s)
+            poses, ifac, self.calib,
+            optimize_scale=self._imu_optimize_scale)
+        s_f = float(s) if self._imu_optimize_scale else 1.0
         if not np.isfinite(s_f) or s_f < 1e-3 or s_f > 1e3:
             return
 
@@ -269,10 +294,16 @@ class VioTracker(MonoTracker):
         fixed_pose |= (window < 0)
         fixed_in = fixed_pose.copy()
 
+        stereo_kwargs = {}
+        if hasattr(self, "kf_uright"):
+            ur = self.kf_uright[np.clip(window, 0, None)].reshape(-1)
+            stereo_kwargs = dict(u_right=ur,
+                                 stereo_mask=valid & (ur > 0),
+                                 bf=self.bf)
         prob = ba.make_problem(
             poses, self.map.mp_pos, kf_idx, mp_idx, uv, inv_s2, valid,
             jnp.asarray(fixed_pose), self.cam_params,
-            fixed_point=~self.map.mp_valid, max_obs=Wpad)
+            fixed_point=~self.map.mp_valid, max_obs=Wpad, **stereo_kwargs)
 
         ifac = self._inertial_factor_batch(start, n_kf)
         if ifac is None:
@@ -316,3 +347,45 @@ class VioTracker(MonoTracker):
         if self.last_kf_id >= 0:
             self.cur_pose = lie.SE3(self.map.kf_pose.R[self.last_kf_id],
                                     self.map.kf_pose.t[self.last_kf_id])
+
+
+class VioTracker(InertialMixin, MonoTracker):
+    """Monocular-inertial SLAM session (reference: IMU_MONOCULAR)."""
+
+    _imu_optimize_scale = True
+
+    def __init__(self, config: SlamConfig, calib: ImuCalib):
+        MonoTracker.__init__(self, config)
+        self._init_inertial(calib)
+
+
+class StereoVioTracker(InertialMixin, StereoTracker):
+    """Stereo-inertial SLAM session (reference: IMU_STEREO — the
+    slam_euroc_si headline configuration). Visual scale is already metric,
+    so the IMU init only estimates gravity direction, biases and
+    velocities (reference: fixed-scale InertialOptimization overload)."""
+
+    _imu_optimize_scale = False
+
+    def __init__(self, config: SlamConfig, baseline: float,
+                 calib: ImuCalib):
+        StereoTracker.__init__(self, config, baseline)
+        self._init_inertial(calib)
+
+    def process_stereo_imu(self, featsL, featsR, timestamp, acc, gyro,
+                           meas_t):
+        """Stereo pair + IMU batch (reference System::TrackStereo with
+        vImuMeas, system.cc:259)."""
+        from ..frontend.stereo import stereo_match
+        u_right, has_stereo = stereo_match(featsL, featsR)
+        self._cur_uright = u_right
+        self._cur_has_stereo = has_stereo
+        return self.process_frame_imu(featsL, timestamp, acc, gyro, meas_t)
+
+    def _process_visual(self, feats, timestamp) -> FrameRecord:
+        if self.state in (TrackState.NO_IMAGES, TrackState.NOT_INITIALIZED):
+            rec = self._stereo_initialize(feats, timestamp)
+            self.frame_id += 1
+            self.trajectory.append(rec)
+            return rec
+        return self.process_features(feats, timestamp)

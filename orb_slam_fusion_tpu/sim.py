@@ -116,27 +116,48 @@ def world_from_trajectory(
     desc = rng.randint(0, 2 ** 32, size=(n_points, 8),
                        dtype=np.uint64).astype(np.uint32)
 
-    # camera orientation: z-axis along smoothed velocity, x right, y down
+    # camera orientation: z-axis along smoothed velocity, x right, y down.
+    # Real trajectories (e.g. EuRoC MH01) start stationary — there the
+    # velocity direction is pure noise, so below a speed threshold the
+    # camera HOLDS its previous heading (a hovering MAV doesn't spin).
     vel = np.gradient(positions, axis=0)
-    # smooth velocities
-    k = np.ones(7) / 7.0
+    k = np.ones(15) / 15.0
     vel = np.stack([np.convolve(vel[:, i], k, mode="same")
                     for i in range(3)], axis=1)
-    Rs, ts = [], []
+    speeds = np.linalg.norm(vel, axis=1)
+    speed_th = max(1e-6, 0.2 * np.median(speeds[speeds > 1e-9])
+                   if np.any(speeds > 1e-9) else 1e-6)
+    # first confident direction seeds the stationary prefix
+    good = np.nonzero(speeds > speed_th)[0]
+    z_prev = (vel[good[0]] / speeds[good[0]]) if len(good) else \
+        np.array([1.0, 0.0, 0.0])
+    # continuous orientation: start from an up-consistent frame, then
+    # rotate minimally so the camera z-axis follows the (smoothed, rate-
+    # limited) heading — no gimbal flip when the heading passes vertical.
     up = np.array([0.0, 0.0, 1.0])
+    x0 = np.cross(z_prev, up)
+    if np.linalg.norm(x0) < 1e-6:
+        x0 = np.array([0.0, 1.0, 0.0])
+    x0 = x0 / np.linalg.norm(x0)
+    R_wc = np.stack([x0, np.cross(z_prev, x0), z_prev], axis=1)
+    max_step = 0.05  # rad per frame — MAVs don't snap their heading
+    Rs, ts = [], []
     for i in range(T):
-        z = vel[i]
-        nz = np.linalg.norm(z)
-        z = z / nz if nz > 1e-6 else np.array([1.0, 0.0, 0.0])
-        x = np.cross(z, up)
-        nx = np.linalg.norm(x)
-        x = x / nx if nx > 1e-6 else np.array([0.0, 1.0, 0.0])
-        y = np.cross(z, x)
-        R_wc = np.stack([x, y, z], axis=1)  # columns = camera axes in world
+        if speeds[i] > speed_th:
+            z_new = vel[i] / speeds[i]
+            z_cur = R_wc[:, 2]
+            axis = np.cross(z_cur, z_new)
+            na = np.linalg.norm(axis)
+            ang = float(np.arctan2(na, np.clip(z_cur @ z_new, -1, 1)))
+            if na > 1e-9 and ang > 1e-6:
+                step = min(ang, max_step)
+                w = axis / na * step
+                R_step = np.asarray(lie.so3_exp(jnp.asarray(
+                    w.astype(np.float32))))
+                R_wc = R_step @ R_wc
         R_cw = R_wc.T
-        t_cw = -R_cw @ positions[i]
-        Rs.append(R_cw)
-        ts.append(t_cw)
+        Rs.append(R_cw.copy())
+        ts.append(-R_cw @ positions[i])
     poses = lie.SE3(jnp.asarray(np.stack(Rs), jnp.float32),
                     jnp.asarray(np.stack(ts), jnp.float32))
     if timestamps is None:

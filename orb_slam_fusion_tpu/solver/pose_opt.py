@@ -65,9 +65,23 @@ def pose_optimization(
     valid = valid.astype(bool)
     dtype = points_w.dtype
 
-    def lm_iters(pose, inlier):
-        def body(carry, _):
-            pose, lam, _ = carry
+    def cost_of(pose, inlier):
+        r, _, depth_ok = _residual_and_jac(pose, points_w, uv,
+                                           cam_model, cam_params)
+        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        return jnp.sum(jnp.where(inlier & valid & depth_ok,
+                                 huber_rho(chi2, chi2_th), 0.0))
+
+    def lm_iters(pose0_round, inlier):
+        # Fixed-small-damping Gauss-Newton with a per-round safety revert:
+        # one residual evaluation per iteration (the accept-test evaluation
+        # is hoisted out of the loop), which halves the sequential depth of
+        # the per-frame hot path. Near Gauss-Newton damping is REQUIRED,
+        # not just fast: incomplete convergence along weakly-constrained
+        # directions (forward/scale in corridors) feeds the constant-
+        # velocity predictor and closes an unstable loop
+        # e_{k+1} ~ kappa*(2 e_k - e_{k-1}), divergent for kappa > 1/3.
+        def body(pose, _):
             r, J, depth_ok = _residual_and_jac(pose, points_w, uv,
                                                cam_model, cam_params)
             chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
@@ -76,40 +90,23 @@ def pose_optimization(
                           w_rob * inv_sigma2, 0.0).astype(dtype)
             H = jnp.einsum("nik,n,nil->kl", J, w, J)  # (6,6)
             g = jnp.einsum("nik,n,ni->k", J, w, r)    # (6,)
-            cost = jnp.sum(jnp.where(inlier & valid & depth_ok,
-                                     huber_rho(chi2, chi2_th), 0.0))
-
-            damped = H + lam * jnp.diag(jnp.diag(H)) \
+            damped = H + 1e-5 * jnp.diag(jnp.diag(H)) \
                 + 1e-9 * jnp.eye(6, dtype=dtype)
             dx = -jax.scipy.linalg.solve(damped, g, assume_a="pos")
             new_pose = lie.se3_boxplus(pose, dx)
-
-            r2, _, d2 = _residual_and_jac(new_pose, points_w, uv,
-                                          cam_model, cam_params)
-            chi2_new = jnp.sum(r2 * r2, axis=-1) * inv_sigma2
-            cost_new = jnp.sum(jnp.where(inlier & valid & d2,
-                                         huber_rho(chi2_new, chi2_th), 0.0))
-            finite = (jnp.all(jnp.isfinite(new_pose.t))
-                      & jnp.all(jnp.isfinite(new_pose.R))
-                      & jnp.isfinite(cost_new))
-            accept = (cost_new < cost) & finite
+            ok = (jnp.all(jnp.isfinite(new_pose.t))
+                  & jnp.all(jnp.isfinite(new_pose.R)))
             pose = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(accept, a, b), new_pose, pose)
-            # Aggressive (near Gauss-Newton) damping schedule: the tracking
-            # loop feeds this pose into the constant-velocity predictor, and
-            # incomplete convergence along weakly-constrained directions
-            # (e.g. forward/scale in corridor scenes) closes an UNSTABLE
-            # feedback loop — e_{k+1} ~ kappa*(2 e_k - e_{k-1}) diverges for
-            # kappa > 1/3 — so the solver must drive its residual gain to ~0,
-            # exactly like g2o's Levenberg with tiny initial lambda.
-            lam = jnp.where(accept, jnp.maximum(lam * 0.1, 1e-9),
-                            jnp.minimum(lam * 10.0, 1e4))
-            return (pose, lam, cost_new), None
+                lambda a, b: jnp.where(ok, a, b), new_pose, pose)
+            return pose, None
 
-        (pose, _, _), _ = jax.lax.scan(
-            body, (pose, jnp.asarray(1e-5, dtype), jnp.asarray(0.0, dtype)),
-            None, length=iters_per_round)
-        return pose
+        pose, _ = jax.lax.scan(body, pose0_round, None,
+                               length=iters_per_round)
+        # safety: if GN diverged this round (outlier-heavy rounds can),
+        # keep the round's starting pose
+        worse = cost_of(pose, inlier) >= cost_of(pose0_round, inlier)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(worse, b, a), pose, pose0_round)
 
     def round_body(i, carry):
         pose, inlier = carry

@@ -1,0 +1,176 @@
+"""System facade — the top-level user API.
+
+Mirrors the reference's `System` class surface (include/system.h:76-267 /
+src/system.cc): construct from a settings file + sensor type, feed frames
+with `track_monocular/track_stereo/track_rgbd` (+ IMU overloads), switch
+localization-only mode, save trajectories in three formats, and checkpoint /
+restore the map ("atlas") with a vocabulary guard.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import lie
+from .config import Settings, load_settings
+from .engine.config import SlamConfig
+from .engine.tracker import FrameRecord, MonoTracker
+from .engine.stereo_tracker import RgbdTracker, StereoTracker
+from .engine.vio_tracker import VioTracker
+from .io.serialization import load_map, save_map
+from .io.trajectory import save_tum
+from .io.writers import save_euroc, save_kitti
+from .utils.verbose import Verbose
+
+
+class Sensor(enum.Enum):
+    MONOCULAR = "mono"
+    STEREO = "stereo"
+    RGBD = "rgbd"
+    IMU_MONOCULAR = "mono-imu"
+    IMU_STEREO = "stereo-imu"
+
+
+class System:
+    """One SLAM session over a configured sensor rig."""
+
+    def __init__(self, settings_path: Optional[str] = None,
+                 sensor: Sensor = Sensor.MONOCULAR,
+                 settings: Optional[Settings] = None,
+                 config: Optional[SlamConfig] = None,
+                 verbosity: int = Verbose.NORMAL):
+        Verbose.set_level(verbosity)
+        self.sensor = sensor
+        if settings is None and settings_path is not None:
+            settings = load_settings(settings_path, sensor.value)
+        self.settings = settings
+        cfg = config or (settings.slam if settings else SlamConfig())
+
+        if sensor == Sensor.MONOCULAR:
+            self.tracker = MonoTracker(cfg)
+        elif sensor == Sensor.STEREO:
+            self.tracker = StereoTracker(cfg, settings.baseline
+                                         if settings else 0.11)
+        elif sensor == Sensor.RGBD:
+            self.tracker = RgbdTracker(cfg, settings.baseline
+                                       if settings else 0.08)
+        elif sensor == Sensor.IMU_MONOCULAR:
+            if settings is None or settings.calib is None:
+                raise ValueError("inertial sensor requires IMU calibration")
+            self.tracker = VioTracker(cfg, settings.calib)
+        elif sensor == Sensor.IMU_STEREO:
+            if settings is None or settings.calib is None:
+                raise ValueError("inertial sensor requires IMU calibration")
+            from .engine.vio_tracker import StereoVioTracker
+            self.tracker = StereoVioTracker(cfg, settings.baseline,
+                                            settings.calib)
+        else:
+            raise ValueError(f"unknown sensor {sensor}")
+        self._localization_only = False
+        Verbose.log(f"System ready: sensor={sensor.value}", Verbose.NORMAL)
+
+    # -- per-frame entries (reference system.cc:259/374/459) ---------------
+
+    def track_monocular(self, img, timestamp: float) -> FrameRecord:
+        return self.tracker.process_image(jnp.asarray(img), timestamp)
+
+    def track_monocular_features(self, feats, timestamp: float) -> FrameRecord:
+        return self.tracker.process_features(feats, timestamp)
+
+    def track_monocular_imu(self, feats, timestamp, acc, gyro, t
+                            ) -> FrameRecord:
+        return self.tracker.process_frame_imu(feats, timestamp, acc, gyro, t)
+
+    def track_stereo(self, imgL, imgR, timestamp: float) -> FrameRecord:
+        return self.tracker.process_stereo_images(
+            jnp.asarray(imgL), jnp.asarray(imgR), timestamp)
+
+    def track_rgbd(self, img, depth, timestamp: float) -> FrameRecord:
+        return self.tracker.process_rgbd_images(
+            jnp.asarray(img), jnp.asarray(depth), timestamp)
+
+    # -- modes (reference ActivateLocalizationMode, system.cc:287) ---------
+
+    def activate_localization_mode(self) -> None:
+        """Tracking-only: the map is frozen (no keyframes, no new points)."""
+        if not self._localization_only:
+            self._localization_only = True
+            self._saved_need_kf = self.tracker._need_new_keyframe
+            self.tracker._need_new_keyframe = lambda n: False
+            Verbose.log("localization-only mode ON", Verbose.NORMAL)
+
+    def deactivate_localization_mode(self) -> None:
+        if self._localization_only:
+            self._localization_only = False
+            self.tracker._need_new_keyframe = self._saved_need_kf
+            Verbose.log("localization-only mode OFF", Verbose.NORMAL)
+
+    def reset(self) -> None:
+        """Full reset (reference System::Reset)."""
+        self.tracker.reset_map()
+
+    # -- outputs (reference system.cc:558-1275) ----------------------------
+
+    def save_trajectory_tum(self, path: str) -> None:
+        save_tum(path, self.tracker.trajectory_tum())
+
+    def save_trajectory_euroc(self, path: str) -> None:
+        save_euroc(path, self.tracker.trajectory_tum())
+
+    def save_trajectory_kitti(self, path: str) -> None:
+        poses = [lie.se3_inverse(rec.pose)
+                 for rec in self.tracker.trajectory]
+        save_kitti(path, poses)
+
+    def save_keyframe_trajectory_tum(self, path: str) -> None:
+        m = self.tracker.map
+        rows = []
+        for k in range(int(m.n_kf)):
+            if not bool(m.kf_valid[k]):
+                continue
+            Twc = lie.se3_inverse(lie.SE3(m.kf_pose.R[k], m.kf_pose.t[k]))
+            q = np.asarray(lie.quat_from_mat(Twc.R))
+            t = np.asarray(Twc.t)
+            rows.append([float(m.kf_timestamp[k]), t[0], t[1], t[2],
+                         q[1], q[2], q[3], q[0]])
+        save_tum(path, np.asarray(rows))
+
+    # -- atlas persistence (reference SaveAtlas/LoadAtlas) -----------------
+
+    def save_atlas(self, path: str) -> None:
+        vocab = (self.tracker.loop_closer.db.vocab.words
+                 if self.tracker.loop_closer else None)
+        extras = {}
+        if hasattr(self.tracker, "kf_uright"):
+            extras["kf_uright"] = self.tracker.kf_uright
+        save_map(path, self.tracker.map, vocab, **extras)
+        Verbose.log(f"atlas saved to {path}", Verbose.NORMAL)
+
+    def load_atlas(self, path: str) -> None:
+        vocab = (self.tracker.loop_closer.db.vocab.words
+                 if self.tracker.loop_closer else None)
+        m, extras = load_map(path, vocab)
+        self.tracker.map = m
+        if "kf_uright" in extras and hasattr(self.tracker, "kf_uright"):
+            self.tracker.kf_uright = extras["kf_uright"]
+        # rebuild the BoW database for relocalization/loops
+        if self.tracker.loop_closer is not None:
+            for k in range(int(m.n_kf)):
+                if bool(m.kf_valid[k]):
+                    self.tracker.loop_closer.add_keyframe(
+                        k, m.kf_desc[k], m.kf_feat_valid[k])
+        from .engine.tracker import TrackState
+        self.tracker.state = TrackState.LOST  # relocalize into the map
+        self.tracker.lost_since = self.tracker.frame_id
+        Verbose.log(f"atlas loaded from {path} "
+                    f"({int(m.n_kf)} KFs, {int(m.n_mp)} points)",
+                    Verbose.NORMAL)
+
+    def shutdown(self) -> None:
+        """Reference System::Shutdown — nothing to join here (no threads),
+        kept for API parity."""
+        Verbose.log("shutdown", Verbose.NORMAL)

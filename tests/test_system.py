@@ -1,0 +1,87 @@
+"""System facade tests: API surface, modes, persistence, viz."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orb_slam_fusion_tpu import sim
+from orb_slam_fusion_tpu.engine import SlamConfig
+from orb_slam_fusion_tpu.frontend.extractor import OrbParams
+from orb_slam_fusion_tpu.system import Sensor, System
+from orb_slam_fusion_tpu.viz import MapDrawer
+
+CFG = SlamConfig(
+    cam_params=(400.0, 400.0, 376.0, 240.0),
+    image_size=(480, 752),
+    orb=OrbParams(n_features=384),
+    max_keyframes=48,
+    max_map_points=4096,
+    ba_window=5,
+    loop_closing=True,
+)
+
+
+@pytest.fixture(scope="module")
+def mono_session(tmp_path_factory):
+    world = sim.make_corridor_world(n_frames=40, n_points=4000, seed=3)
+    sys_ = System(sensor=Sensor.MONOCULAR, config=CFG)
+    cam = jnp.asarray(CFG.cam_params)
+    for k in range(40):
+        feats = sim.render_frame(world, k, cam, CFG.image_size,
+                                 CFG.orb.n_features, seed=11)
+        sys_.track_monocular_features(feats, float(world.timestamps[k]))
+    return sys_, world
+
+
+def test_trajectory_outputs(mono_session, tmp_path):
+    sys_, world = mono_session
+    for name, fn in [("tum", sys_.save_trajectory_tum),
+                     ("euroc", sys_.save_trajectory_euroc),
+                     ("kitti", sys_.save_trajectory_kitti)]:
+        p = os.path.join(tmp_path, f"traj_{name}.txt")
+        fn(p)
+        assert os.path.getsize(p) > 0
+    p = os.path.join(tmp_path, "kfs.txt")
+    sys_.save_keyframe_trajectory_tum(p)
+    lines = open(p).read().strip().splitlines()
+    n_valid = int(np.asarray(sys_.tracker.map.kf_valid).sum())
+    assert len(lines) == n_valid and n_valid > 0
+
+
+def test_atlas_roundtrip(mono_session, tmp_path):
+    sys_, world = mono_session
+    p = os.path.join(tmp_path, "atlas.npz")
+    sys_.save_atlas(p)
+    sys2 = System(sensor=Sensor.MONOCULAR, config=CFG)
+    sys2.load_atlas(p)
+    assert int(sys2.tracker.map.n_kf) == int(sys_.tracker.map.n_kf)
+    assert int(sys2.tracker.map.n_mp) == int(sys_.tracker.map.n_mp)
+    # relocalization against the loaded map works
+    cam = jnp.asarray(CFG.cam_params)
+    feats = sim.render_frame(world, 20, cam, CFG.image_size,
+                             CFG.orb.n_features, seed=11)
+    rec = sys2.track_monocular_features(feats, 99.0)
+    assert rec.state in ("ok", "reloc-fail")  # reloc attempted; usually ok
+    assert sys2.tracker.state.name in ("OK", "LOST")
+
+
+def test_localization_mode(mono_session):
+    sys_, world = mono_session
+    n_kf_before = int(sys_.tracker.map.n_kf)
+    sys_.activate_localization_mode()
+    cam = jnp.asarray(CFG.cam_params)
+    for k in range(30, 40):
+        feats = sim.render_frame(world, k, cam, CFG.image_size,
+                                 CFG.orb.n_features, seed=11)
+        sys_.track_monocular_features(feats, 100.0 + k)
+    assert int(sys_.tracker.map.n_kf) == n_kf_before
+    sys_.deactivate_localization_mode()
+
+
+def test_map_drawing(mono_session, tmp_path):
+    sys_, world = mono_session
+    p = os.path.join(tmp_path, "map.png")
+    MapDrawer(sys_.tracker).save(p)
+    assert os.path.getsize(p) > 10000
