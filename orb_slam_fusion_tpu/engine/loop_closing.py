@@ -41,6 +41,8 @@ class LoopCloser:
         self.min_gap = 10           # KFs between loop closures
         self.min_kf = 12            # reference: map must have >=12 KFs
         self.num_closed = 0
+        self.max_kf_for_gba = 128   # GBA size gate (reference gates the
+        # essential graph at 200 KFs, loopclosing.cc:1097)
 
     # -- database maintenance (called by the tracker on KF insert) ---------
 
@@ -222,6 +224,51 @@ class LoopCloser:
         # merge duplicate observations (simplified SearchAndFuse,
         # loopclosing.cc:1982) ------------------------------------------
         self._fuse_duplicates(tracker, cur, cand)
+
+        # ---- global BA (reference: RunGlobalBundleAdjustment thread,
+        # loopclosing.cc:2117; skipped for large maps like the reference
+        # skips essential-graph-only maps >200 KFs) ----------------------
+        if n_kf <= self.max_kf_for_gba:
+            self._global_ba(tracker)
+
+    def _global_ba(self, tracker) -> None:
+        """Full-map bundle adjustment after a loop correction.
+
+        The reference runs GlobalBundleAdjustemnt in a background thread
+        with an abort flag; here it is a bounded synchronous call (async
+        overlap is a planned optimization). Landmarks with very many
+        observations have their Schur cross terms truncated to max_obs=16 —
+        the dropped terms make the step quasi-Newton, but monotone
+        acceptance in the LM loop still guarantees descent of the true
+        cost.
+        """
+        from ..solver import ba as ba_mod
+        from ..frontend import extractor
+        m = tracker.map
+        n_kf = int(m.n_kf)
+        window = jnp.arange(m.max_kf, dtype=jnp.int32)
+        window = jnp.where(window < n_kf, window, -1)
+        kf_idx, mp_idx, uv, octv, valid = ms.observation_triples(
+            m, window)
+        inv_s2 = extractor.inv_scale_sigma2(self.cfg.orb)[
+            jnp.clip(octv, 0, self.cfg.orb.num_levels - 1)]
+        fixed = np.ones(m.max_kf, bool)
+        fixed[1:n_kf] = False  # anchor only the first keyframe
+        prob = ba_mod.make_problem(
+            m.kf_pose, m.mp_pos, kf_idx, mp_idx, uv, inv_s2, valid,
+            jnp.asarray(fixed), tracker.cam_params,
+            fixed_point=~m.mp_valid, max_obs=16)
+        new_poses, new_points, inlier, costs = ba_mod.bundle_adjustment(
+            prob, cam_model=self.cfg.cam_model,
+            iters_first=3, iters_second=7)
+        tracker.map = m._replace(
+            kf_pose=new_poses,
+            mp_pos=jnp.where(m.mp_valid[:, None], new_points, m.mp_pos),
+        )
+        if tracker.last_kf_id >= 0:
+            tracker.cur_pose = lie.SE3(
+                tracker.map.kf_pose.R[tracker.last_kf_id],
+                tracker.map.kf_pose.t[tracker.last_kf_id])
 
     def _fuse_duplicates(self, tracker, cur: int, cand: int) -> None:
         """Merge map points duplicated across the loop: features of the

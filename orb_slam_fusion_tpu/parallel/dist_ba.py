@@ -92,7 +92,6 @@ def _dist_lm_run(poses, points, prob: BAProblem, mesh: Mesh,
         # --- landmark-sharded Schur assembly ---------------------------
         def schur_local(lm_idx, lm_val, fixed_pt):
             # lm_idx: (M/D, O) rows into replicated factor arrays
-            Wg = Hll_fr = None
             obs_mask = lm_val
             Wg = jnp.where(obs_mask[..., None, None], Hpl_f[lm_idx], 0.0)
             Hll = jnp.sum(
