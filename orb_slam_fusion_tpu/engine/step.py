@@ -74,7 +74,7 @@ def fused_track_step(
     midx_c = jnp.clip(midx, 0, kp_uv.shape[0] - 1)
     pose1, _, _ = pose_opt.pose_optimization(
         prev_pose, mp_pos, kp_uv[midx_c], kp_inv_sigma2[midx_c], mok,
-        cam_params, cam_model=cam_model, rounds=2)
+        cam_params, cam_model=cam_model, rounds=1, iters_per_round=6)
 
     # stage 2: fine re-match at the refined pose
     uv2, vis2 = project(pose1)
@@ -85,7 +85,7 @@ def fused_track_step(
     midx_c = jnp.clip(midx, 0, kp_uv.shape[0] - 1)
     pose2, inlier, n_in = pose_opt.pose_optimization(
         pose1, mp_pos, kp_uv[midx_c], kp_inv_sigma2[midx_c], mok,
-        cam_params, cam_model=cam_model, rounds=4)
+        cam_params, cam_model=cam_model, rounds=2, iters_per_round=6)
 
     return TrackStepResult(
         pose=pose2,
