@@ -1,0 +1,178 @@
+"""Fused keyframe-insertion mapping step — one device program per keyframe.
+
+Reference: the LocalMapping thread's per-keyframe work (localmapping.cc):
+ProcessNewKeyFrame (:234) + CreateNewMapPoints (:312) + SearchInNeighbors
+fuse (:619) + MapPointCulling (:276), here compiled into a single XLA
+program. The host supplies only the previous-keyframe window (small int32
+array); everything else — matching, triangulation, observation
+registration, duplicate fusion, culling — happens on device with static
+shapes, so a keyframe insert costs ONE dispatch instead of dozens of
+round-trips through the remote-device tunnel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import cameras, lie
+from ..frontend import matcher
+from ..map import map_state as ms
+
+
+def _triangulate_pair(pose_a: lie.SE3, pose_b: lie.SE3, rays_a, rays_b,
+                      pair_valid, min_parallax_cos: float = 0.9998):
+    """Two-view mid-point triangulation + acceptance checks (world coords).
+
+    Reference: LocalMapping::CreateNewMapPoints's parallax / positive-depth
+    / reprojection gates. Returns (points_w (N,3), good (N,)).
+    """
+    T_ba = lie.se3_compose(pose_b, lie.se3_inverse(pose_a))
+    X_a = cameras.triangulate(rays_a, rays_b, T_ba.R, T_ba.t)
+    X_b = lie.se3_apply(T_ba, X_a)
+    z_a, z_b = X_a[..., 2], X_b[..., 2]
+
+    C_b_in_a = lie.se3_apply(lie.se3_inverse(T_ba), jnp.zeros_like(X_a))
+    v1 = X_a
+    v2 = X_a - C_b_in_a
+    cosp = jnp.sum(v1 * v2, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1), 1e-12)
+
+    e_a = jnp.sum((X_a[..., :2] / jnp.maximum(z_a[..., None], 1e-9)
+                   - rays_a[..., :2]) ** 2, axis=-1)
+    e_b = jnp.sum((X_b[..., :2] / jnp.maximum(z_b[..., None], 1e-9)
+                   - rays_b[..., :2]) ** 2, axis=-1)
+    th = (2.0 / 460.0) ** 2
+    good = (pair_valid & (z_a > 0.05) & (z_b > 0.05)
+            & (cosp < min_parallax_cos) & (e_a < th) & (e_b < th))
+    X_w = lie.se3_apply(lie.se3_inverse(pose_a), X_a)
+    return X_w, good
+
+
+class MappingResult(NamedTuple):
+    map: ms.MapState
+    # (2,) int32: [new keyframe row or -1 (table full), tracked-point count
+    # of the new keyframe] — one small host transfer covers both
+    stats: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam_model", "img_h", "img_w", "n_prev",
+                     "culling_found_ratio"),
+)
+def mapping_step(
+    m: ms.MapState,
+    pose: lie.SE3,             # current frame Tcw
+    timestamp,                 # () float
+    kp_uv: jnp.ndarray,        # (F, 2)
+    kp_desc: jnp.ndarray,      # (F, 8)
+    kp_octave: jnp.ndarray,    # (F,)
+    kp_valid: jnp.ndarray,     # (F,)
+    obs: jnp.ndarray,          # (F,) feature -> map-point binding from tracking
+    prev_ids: jnp.ndarray,     # (P,) int32 recent keyframe rows, -1 padded
+    cam_params: jnp.ndarray,
+    cam_model: str = cameras.PINHOLE,
+    img_h: int = 480,
+    img_w: int = 752,
+    n_prev: int = 3,
+    culling_found_ratio: float = 0.25,
+) -> MappingResult:
+    """Insert a keyframe and do all per-keyframe mapping work on device."""
+    F = kp_uv.shape[0]
+
+    # ---- 1. keyframe insert (ProcessNewKeyFrame) ------------------------
+    m, kf_id = ms.add_keyframe(
+        m, pose, timestamp, kp_uv, kp_desc, kp_octave, kp_valid, obs)
+    kf_ok = kf_id >= 0
+    kf_c = jnp.clip(kf_id, 0, m.max_kf - 1)
+
+    # ---- 2. new points: triangulate unmatched features against each of
+    # the n_prev most recent keyframes (CreateNewMapPoints; recency is the
+    # covisibility proxy) ------------------------------------------------
+    rays_cur = cameras.unproject(cam_model, cam_params, kp_uv)
+    cam_center = lie.se3_apply(lie.se3_inverse(pose), jnp.zeros(3))
+    cur_obs = obs
+
+    for p in range(n_prev):
+        prev = prev_ids[p]
+        prev_ok = (prev >= 0) & kf_ok
+        prev_c = jnp.clip(prev, 0, m.max_kf - 1)
+
+        prev_uv = m.kf_uv[prev_c]
+        prev_desc = m.kf_desc[prev_c]
+        prev_un = (m.kf_feat_valid[prev_c] & (m.kf_obs_mp[prev_c] < 0)
+                   & prev_ok)
+        cur_un = kp_valid & (cur_obs < 0)
+
+        pidx, pok = matcher.match_mutual(
+            prev_desc, prev_un, kp_desc, cur_un, max_dist=matcher.TH_LOW)
+        pidx_c = jnp.clip(pidx, 0, F - 1)
+
+        rays_prev = cameras.unproject(cam_model, cam_params, prev_uv)
+        prev_pose = lie.SE3(m.kf_pose.R[prev_c], m.kf_pose.t[prev_c])
+        X_w, good = _triangulate_pair(
+            prev_pose, pose, rays_prev, rays_cur[pidx_c], pok)
+        good = good & prev_ok
+
+        normals = X_w - cam_center
+        normals = normals / jnp.maximum(
+            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
+        m, new_ids = ms.add_map_points(
+            m, X_w, kp_desc[pidx_c], normals, kf_c, kf_c, good)
+
+        # register observations in both keyframes (out-of-bounds drop for
+        # masked rows avoids duplicate-scatter hazards)
+        write = new_ids >= 0
+        kfo = m.kf_obs_mp
+        prev_rows = jnp.arange(F, dtype=jnp.int32)
+        row_prev = kfo[prev_c].at[
+            jnp.where(write, prev_rows, F)].set(new_ids, mode="drop")
+        kfo = kfo.at[jnp.where(prev_ok, prev_c, m.max_kf)].set(
+            row_prev, mode="drop")
+        row_cur = kfo[kf_c].at[
+            jnp.where(write & (pidx >= 0), pidx_c, F)].set(
+            new_ids, mode="drop")
+        kfo = kfo.at[jnp.where(kf_ok, kf_c, m.max_kf)].set(
+            row_cur, mode="drop")
+        m = m._replace(kf_obs_mp=kfo)
+        cur_obs = m.kf_obs_mp[kf_c]
+
+    # ---- 3. duplicate fusion in the new keyframe (SearchInNeighbors):
+    # where a projected map point matches a feature already bound to a
+    # DIFFERENT point, the older (smaller-row) point absorbs the newer ----
+    pc = lie.se3_apply(pose, m.mp_pos)
+    uv_pred = cameras.project(cam_model, cam_params, pc)
+    vis = (m.mp_valid & (pc[..., 2] > 0.05)
+           & (uv_pred[..., 0] >= 0) & (uv_pred[..., 0] < img_w)
+           & (uv_pred[..., 1] >= 0) & (uv_pred[..., 1] < img_h))
+    midx, mok = matcher.search_by_projection(
+        uv_pred, m.mp_desc, vis, jnp.zeros(m.max_mp, jnp.int32),
+        kp_uv, kp_desc, kp_valid, kp_octave, radius=4.0,
+        max_dist=matcher.TH_LOW, octave_window=16)
+    midx_c = jnp.clip(midx, 0, F - 1)
+    bound = cur_obs[midx_c]
+    mp_rows = jnp.arange(m.max_mp, dtype=jnp.int32)
+    dup = mok & kf_ok & (bound >= 0) & (bound != mp_rows)
+    keep = jnp.where(bound < mp_rows, bound, mp_rows)
+    kill = jnp.where(bound < mp_rows, mp_rows, bound)
+    replace = jnp.arange(m.max_mp, dtype=jnp.int32)
+    replace = replace.at[jnp.where(dup, kill, m.max_mp)].set(
+        keep, mode="drop")
+    kfo = m.kf_obs_mp
+    kfo = jnp.where(kfo >= 0, replace[jnp.clip(kfo, 0, None)], kfo)
+    killed = jnp.zeros(m.max_mp, bool).at[
+        jnp.where(dup, kill, m.max_mp)].set(True, mode="drop")
+    m = m._replace(kf_obs_mp=kfo, mp_valid=m.mp_valid & ~killed)
+
+    # ---- 4. map-point culling (MapPointCulling): low found/visible ratio
+    ratio = m.mp_found / jnp.maximum(m.mp_visible, 1)
+    bad = (m.mp_visible >= 8) & (ratio < culling_found_ratio)
+    m = m._replace(mp_valid=m.mp_valid & ~bad)
+
+    n_tracked = jnp.sum((m.kf_obs_mp[kf_c] >= 0).astype(jnp.int32))
+    return MappingResult(
+        map=m, stats=jnp.stack([kf_id, n_tracked]).astype(jnp.int32))

@@ -93,3 +93,114 @@ def fused_track_step(
         n_inliers=n_in,
         matched_feat=jnp.where(inlier, midx, -1),
     )
+
+
+class FrameUpdate(NamedTuple):
+    """Everything the host needs back from one tracked frame."""
+
+    pose: lie.SE3             # optimized Tcw
+    velocity: lie.SE3         # pose o inv(prev frame pose)
+    obs: jnp.ndarray          # (F,) feature -> map-point row or -1
+    mp_visible: jnp.ndarray   # (M,) updated visibility counters
+    mp_found: jnp.ndarray     # (M,) updated found counters
+    counts: jnp.ndarray       # (2,) int32: [n_matches, n_inliers]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam_model", "img_h", "img_w", "min_matches"),
+    donate_argnames=("mp_visible", "mp_found"),
+)
+def fused_frame_update(
+    mp_pos: jnp.ndarray,        # (M, 3)
+    mp_desc: jnp.ndarray,       # (M, 8) uint32
+    mp_valid: jnp.ndarray,      # (M,)
+    mp_visible: jnp.ndarray,    # (M,) int32
+    mp_found: jnp.ndarray,      # (M,) int32
+    prev_pose: lie.SE3,         # previous frame's OPTIMIZED pose (anchor)
+    pred_pose: lie.SE3,         # motion-model prediction (match centering)
+    kp_uv: jnp.ndarray,         # (F, 2)
+    kp_desc: jnp.ndarray,       # (F, 8)
+    kp_valid: jnp.ndarray,      # (F,)
+    kp_octave: jnp.ndarray,     # (F,)
+    inv_sigma2_table: jnp.ndarray,  # (L,) per-octave information
+    cam_params: jnp.ndarray,
+    cam_model: str = cameras.PINHOLE,
+    img_h: int = 480,
+    img_w: int = 752,
+    radius_coarse: float = 15.0,
+    radius_fine: float = 9.0,
+    min_matches: int = 20,
+) -> FrameUpdate:
+    """One tracked frame as ONE device program (zero host round-trips).
+
+    The whole of Tracking::TrackWithMotionModel + TrackLocalMap
+    (tracking.cc:2163/2255) incl. the widened-window retry and the
+    mnFound/mnVisible bookkeeping. The Hamming distance matrix is computed
+    once and shared by the coarse / widened / fine matching stages (only the
+    spatial masks differ).
+    """
+    F = kp_uv.shape[0]
+    M = mp_pos.shape[0]
+    dist = matcher.hamming_distance(mp_desc, kp_desc)        # (M, F)
+    inv_s2 = inv_sigma2_table[
+        jnp.clip(kp_octave, 0, inv_sigma2_table.shape[0] - 1)]
+
+    def project(pose):
+        pc = lie.se3_apply(pose, mp_pos)
+        uv = cameras.project(cam_model, cam_params, pc)
+        vis = (mp_valid & (pc[..., 2] > 0.05)
+               & (uv[..., 0] >= 0) & (uv[..., 0] < img_w)
+               & (uv[..., 1] >= 0) & (uv[..., 1] < img_h))
+        return uv, vis
+
+    def match_at(uv_pred, vis, radius):
+        d2 = jnp.sum((uv_pred[:, None, :] - kp_uv[None, :, :]) ** 2, axis=-1)
+        mask = (d2 <= radius * radius) & vis[:, None] & kp_valid[None, :]
+        idx, best, second = matcher.masked_min2(dist, mask)
+        ok = ((best <= matcher.TH_HIGH)
+              & (best.astype(jnp.float32)
+                 <= matcher.RATIO * second.astype(jnp.float32)))
+        return jnp.where(ok, idx, -1).astype(jnp.int32), ok
+
+    # ---- stage 1: coarse match at the prediction, widened retry on famine
+    uv1, vis1 = project(pred_pose)
+    midx0, mok0 = match_at(uv1, vis1, radius_coarse)
+    n1 = jnp.sum(mok0.astype(jnp.int32))
+    midx, mok = jax.lax.cond(
+        n1 < min_matches,
+        lambda: match_at(uv1, vis1, 2.0 * radius_coarse),
+        lambda: (midx0, mok0))
+    n_match = jnp.sum(mok.astype(jnp.int32))
+
+    midx_c = jnp.clip(midx, 0, F - 1)
+    pose1, _, _ = pose_opt.pose_optimization(
+        pred_pose, mp_pos, kp_uv[midx_c], inv_s2[midx_c], mok,
+        cam_params, cam_model=cam_model, rounds=1, iters_per_round=6)
+
+    # ---- stage 2: fine re-match at the refined pose, anchored re-solve
+    uv2, vis2 = project(pose1)
+    midx, mok = match_at(uv2, vis2, radius_fine)
+    midx_c = jnp.clip(midx, 0, F - 1)
+    pose2, inlier, n_in = pose_opt.pose_optimization(
+        prev_pose, mp_pos, kp_uv[midx_c], inv_s2[midx_c], mok,
+        cam_params, cam_model=cam_model, rounds=2, iters_per_round=6)
+
+    # ---- bookkeeping on device
+    obs = jnp.full((F,), -1, jnp.int32)
+    mp_rows = jnp.arange(M, dtype=jnp.int32)
+    write = inlier & (midx >= 0)
+    obs = obs.at[jnp.where(write, midx_c, F)].set(
+        jnp.where(write, mp_rows, -1), mode="drop")
+    mp_visible = mp_visible + vis2.astype(jnp.int32)
+    mp_found = mp_found + inlier.astype(jnp.int32)
+    velocity = lie.se3_compose(pose2, lie.se3_inverse(prev_pose))
+
+    return FrameUpdate(
+        pose=pose2,
+        velocity=velocity,
+        obs=obs,
+        mp_visible=mp_visible,
+        mp_found=mp_found,
+        counts=jnp.stack([n_match, n_in]).astype(jnp.int32),
+    )

@@ -20,7 +20,6 @@ from .. import cameras, lie
 from ..frontend import extractor, matcher
 from ..frontend.stereo import depth_from_disparity, stereo_match
 from ..map import map_state as ms
-from ..solver import ba
 from ..utils import masked_set
 from .config import SlamConfig
 from .tracker import FrameRecord, MonoTracker, TrackState, _rays_from_uv
@@ -140,57 +139,21 @@ class StereoTracker(MonoTracker):
     # -- local BA with stereo residuals -----------------------------------
 
     def _local_ba(self):
+        """Stereo local BA: one device dispatch with 3-dim stereo residuals
+        (reference EdgeStereoSE3ProjectXYZ); metric scale means a single
+        fixed anchor keyframe suffices for the gauge."""
+        from ..solver.local_ba import local_ba_step
+
         cfg = self.cfg
-        n_kf = int(self.map.n_kf)
-        W = cfg.ba_window + cfg.ba_fixed_ring
-        start = max(0, n_kf - W)
-        window = np.full(W, -1, np.int32)
-        ids = np.arange(start, n_kf, dtype=np.int32)
-        window[: len(ids)] = ids
-        window_j = jnp.asarray(window)
-
-        kf_idx, mp_idx, uv, octv, valid = ms.observation_triples(
-            self.map, window_j)
-        inv_s2 = extractor.inv_scale_sigma2(cfg.orb)[
-            jnp.clip(octv, 0, cfg.orb.num_levels - 1)]
-        # gather right-u per factor from the per-KF table
-        ur = self.kf_uright[np.clip(window, 0, None)].reshape(-1)
-        stereo_mask = valid & (ur > 0)
-
-        poses = lie.SE3(self.map.kf_pose.R[np.clip(window, 0, None)],
-                        self.map.kf_pose.t[np.clip(window, 0, None)])
-        n_in_window = len(ids)
-        # stereo is metric: a single fixed anchor suffices
-        n_fixed = max(n_in_window - cfg.ba_window, 1)
-        fixed = np.zeros(W, bool)
-        fixed[:n_fixed] = True
-        fixed |= (window < 0)
-
-        prob = ba.make_problem(
-            poses, self.map.mp_pos, kf_idx, mp_idx, uv, inv_s2, valid,
-            jnp.asarray(fixed), self.cam_params,
-            fixed_point=~self.map.mp_valid, max_obs=W,
-            u_right=ur, stereo_mask=stereo_mask, bf=self.bf)
-        new_poses, new_points, inlier, _ = ba.bundle_adjustment(
-            prob, cam_model=cfg.cam_model,
+        window, fixed, n_in, _ = self._ba_window_arrays(min_fixed=1)
+        self.map, costs, n_edges = local_ba_step(
+            self.map, jnp.asarray(window), jnp.asarray(fixed),
+            extractor.inv_scale_sigma2(cfg.orb), self.cam_params,
+            kf_uright=self.kf_uright, bf=self.bf,
+            cam_model=cfg.cam_model,
             iters_first=cfg.ba_iters_first,
             iters_second=cfg.ba_iters_second)
-
-        ids_j = jnp.asarray(ids)
-        self.map = self.map._replace(
-            kf_pose=lie.SE3(
-                self.map.kf_pose.R.at[ids_j].set(new_poses.R[:n_in_window]),
-                self.map.kf_pose.t.at[ids_j].set(new_poses.t[:n_in_window]),
-            ),
-            mp_pos=jnp.where(self.map.mp_valid[:, None], new_points,
-                             self.map.mp_pos),
-        )
-        F = self.map.n_feat
-        drop = (valid & ~inlier).reshape(W, F)[:n_in_window]
-        kfo = self.map.kf_obs_mp
-        kfo = kfo.at[ids_j].set(jnp.where(drop, -1, kfo[ids_j]))
-        self.map = self.map._replace(kf_obs_mp=kfo)
-        if self.last_kf_id >= 0 and n_in_window > 0:
+        if self.last_kf_id >= 0 and n_in > 0:
             self.cur_pose = lie.SE3(self.map.kf_pose.R[self.last_kf_id],
                                     self.map.kf_pose.t[self.last_kf_id])
 

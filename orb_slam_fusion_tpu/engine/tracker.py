@@ -35,7 +35,6 @@ import numpy as np
 from .. import cameras, lie, two_view
 from ..frontend import extractor, matcher
 from ..map import map_state as ms
-from ..solver import ba, pose_opt
 from ..utils import masked_set
 from ..utils.timing import STAGES, stage
 from .config import SlamConfig
@@ -69,43 +68,6 @@ def _project_map_points(mp_pos, mp_valid, pose: lie.SE3, cam_params,
 @functools.partial(jax.jit, static_argnames=("cam_model",))
 def _rays_from_uv(uv, cam_params, cam_model: str):
     return cameras.unproject(cam_model, cam_params, uv)
-
-
-@functools.partial(jax.jit, static_argnames=("cam_model", "min_parallax_cos"))
-def _triangulate_candidates(
-    pose_a: lie.SE3, pose_b: lie.SE3, rays_a, rays_b, pair_valid,
-    cam_params, cam_model: str, min_parallax_cos: float = 0.9998,
-):
-    """Triangulate feature pairs between two keyframes (world coords).
-
-    Reference: LocalMapping::CreateNewMapPoints checks (localmapping.cc:
-    parallax, positive depth, reprojection). Returns (points_w (N,3),
-    good (N,)).
-    """
-    # relative pose: b <- a
-    T_ba = lie.se3_compose(pose_b, lie.se3_inverse(pose_a))
-    X_a = cameras.triangulate(rays_a, rays_b, T_ba.R, T_ba.t)
-    X_b = lie.se3_apply(T_ba, X_a)
-    z_a, z_b = X_a[..., 2], X_b[..., 2]
-
-    # parallax between viewing rays (in frame a)
-    C_b_in_a = lie.se3_apply(lie.se3_inverse(T_ba),
-                             jnp.zeros_like(X_a))  # camera b center
-    v1 = X_a
-    v2 = X_a - C_b_in_a
-    cosp = jnp.sum(v1 * v2, axis=-1) / jnp.maximum(
-        jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1), 1e-12)
-
-    e_a = jnp.sum((X_a[..., :2] / jnp.maximum(z_a[..., None], 1e-9)
-                   - rays_a[..., :2]) ** 2, axis=-1)
-    e_b = jnp.sum((X_b[..., :2] / jnp.maximum(z_b[..., None], 1e-9)
-                   - rays_b[..., :2]) ** 2, axis=-1)
-    th = (2.0 / 460.0) ** 2
-    good = (pair_valid & (z_a > 0.05) & (z_b > 0.05)
-            & (cosp < min_parallax_cos) & (e_a < th) & (e_b < th))
-    # to world: X_w = T_aw^-1 X_a
-    X_w = lie.se3_apply(lie.se3_inverse(pose_a), X_a)
-    return X_w, good
 
 
 class FrameRecord(NamedTuple):
@@ -298,103 +260,49 @@ class MonoTracker:
     # -- tracking ----------------------------------------------------------
 
     def _track_frame(self, feats, timestamp) -> FrameRecord:
+        """Per-frame tracking: ONE fused device program (engine/step.py
+        fused_frame_update — the whole TrackWithMotionModel + TrackLocalMap
+        sequence of tracking.cc:2163/2255, incl. the widened-window retry,
+        the stage-2 anchored re-solve, and the mnFound/mnVisible counters),
+        then a single small host transfer for the state-machine decisions."""
+        from .step import fused_frame_update
+
         cfg = self.cfg
         h, w = cfg.image_size
         pred_pose = lie.se3_compose(self.velocity, self.cur_pose)
 
-        uv_pred, vis, depth = _project_map_points(
-            self.map.mp_pos, self.map.mp_valid, pred_pose, self.cam_params,
-            cfg.cam_model, h, w)
-        midx, mok = matcher.search_by_projection(
-            uv_pred, self.map.mp_desc, vis,
-            jnp.zeros(self.map.max_mp, jnp.int32),
+        upd = fused_frame_update(
+            self.map.mp_pos, self.map.mp_desc, self.map.mp_valid,
+            self.map.mp_visible, self.map.mp_found,
+            self.cur_pose, pred_pose,
             feats.uv, feats.desc, feats.valid, feats.octave,
-            radius=cfg.match_radius_coarse,
-            max_dist=matcher.TH_HIGH, octave_window=16)
-
-        n_matches = int(jnp.sum(mok))
-        if n_matches < cfg.min_track_matches:
-            # widen search once (reference doubles the window on failure)
-            midx, mok = matcher.search_by_projection(
-                uv_pred, self.map.mp_desc, vis,
-                jnp.zeros(self.map.max_mp, jnp.int32),
-                feats.uv, feats.desc, feats.valid, feats.octave,
-                radius=2.0 * cfg.match_radius_coarse,
-                max_dist=matcher.TH_HIGH, octave_window=16)
-            n_matches = int(jnp.sum(mok))
-        if n_matches < cfg.min_track_matches:
-            self.state = TrackState.LOST
-            self.lost_since = self.frame_id
-            self.ref_feats = None
-            return FrameRecord(timestamp, pred_pose, n_matches, "lost")
-
-        # stage 1: pose optimization on coarse matches
-        midx_c = jnp.clip(midx, 0, feats.uv.shape[0] - 1)
-        obs_uv = feats.uv[midx_c]
-        inv_s2_oct = extractor.inv_scale_sigma2(cfg.orb)
-        inv_s2 = inv_s2_oct[
-            jnp.clip(feats.octave[midx_c], 0, cfg.orb.num_levels - 1)]
-        opt_pose, inlier, n_in = pose_opt.pose_optimization(
-            pred_pose, self.map.mp_pos, obs_uv, inv_s2, mok,
-            self.cam_params, cam_model=cfg.cam_model)
-
-        # stage 2 (reference TrackLocalMap, tracking.cc:2255): re-project the
-        # map at the optimized pose, re-match with the fine radius, re-optimize.
-        uv_pred2, vis2, _ = _project_map_points(
-            self.map.mp_pos, self.map.mp_valid, opt_pose, self.cam_params,
-            cfg.cam_model, h, w)
-        midx, mok = matcher.search_by_projection(
-            uv_pred2, self.map.mp_desc, vis2,
-            jnp.zeros(self.map.max_mp, jnp.int32),
-            feats.uv, feats.desc, feats.valid, feats.octave,
-            radius=cfg.match_radius_fine,
-            max_dist=matcher.TH_HIGH, octave_window=16)
-        midx_c = jnp.clip(midx, 0, feats.uv.shape[0] - 1)
-        obs_uv = feats.uv[midx_c]
-        inv_s2 = inv_s2_oct[
-            jnp.clip(feats.octave[midx_c], 0, cfg.orb.num_levels - 1)]
-        # CRITICAL: the final optimization restarts from the PREVIOUS frame's
-        # optimized pose, not the velocity prediction. The prediction's only
-        # job is centering the match windows. In fp32 the LM minimum has a
-        # small start-dependent plateau along weakly-constrained directions
-        # (forward/scale in corridors); feeding the predicted pose into the
-        # optimizer start closes the loop e_{k+1} ~ kappa*(2e_k - e_{k-1}),
-        # which diverges exponentially — observed as runaway monocular scale
-        # drift. Anchoring the start at cur_pose keeps the loop gain at
-        # kappa*e_k (stable), with the fixed correspondences providing the
-        # full basin.
-        opt_pose, inlier, n_in = pose_opt.pose_optimization(
-            self.cur_pose, self.map.mp_pos, obs_uv, inv_s2, mok,
-            self.cam_params, cam_model=cfg.cam_model)
-        vis = vis2
-        n_inliers = int(n_in)
-        if n_inliers < cfg.min_track_matches // 2:
-            self.state = TrackState.LOST
-            self.lost_since = self.frame_id
-            self.ref_feats = None
-            return FrameRecord(timestamp, pred_pose, n_inliers, "lost")
-
-        # bookkeeping: feature->mp association for this frame
-        obs = jnp.full((cfg.orb.n_features,), -1, jnp.int32)
-        mp_rows = jnp.arange(self.map.max_mp, dtype=jnp.int32)
-        obs = masked_set(obs, midx_c, mp_rows, inlier & (midx >= 0))
-        self._cur_obs = obs
-
-        # found/visible statistics (reference mnFound/mnVisible)
+            extractor.inv_scale_sigma2(cfg.orb), self.cam_params,
+            cam_model=cfg.cam_model, img_h=h, img_w=w,
+            radius_coarse=cfg.match_radius_coarse,
+            radius_fine=cfg.match_radius_fine,
+            min_matches=cfg.min_track_matches)
+        # the ONLY device->host sync of the frame
+        n_matches, n_inliers = (int(x) for x in np.asarray(upd.counts))
         self.map = self.map._replace(
-            mp_visible=self.map.mp_visible + vis.astype(jnp.int32),
-            mp_found=self.map.mp_found + inlier.astype(jnp.int32),
-        )
+            mp_visible=upd.mp_visible, mp_found=upd.mp_found)
 
+        if (n_matches < cfg.min_track_matches
+                or n_inliers < cfg.min_track_matches // 2):
+            self.state = TrackState.LOST
+            self.lost_since = self.frame_id
+            self.ref_feats = None
+            return FrameRecord(timestamp, pred_pose,
+                               min(n_matches, n_inliers), "lost")
+
+        self._cur_obs = upd.obs
         self.last_pose = self.cur_pose
-        self.cur_pose = opt_pose
-        self.velocity = lie.se3_compose(
-            self.cur_pose, lie.se3_inverse(self.last_pose))
+        self.cur_pose = upd.pose
+        self.velocity = upd.velocity
         self.frames_since_kf += 1
 
         if self._need_new_keyframe(n_inliers):
             with stage("keyframe_insert"):
-                self._insert_keyframe(feats, timestamp, obs)
+                self._insert_keyframe(feats, timestamp, upd.obs)
 
         return FrameRecord(timestamp, self.cur_pose, n_inliers, "ok")
 
@@ -448,82 +356,33 @@ class MonoTracker:
     # -- mapping -----------------------------------------------------------
 
     def _insert_keyframe(self, feats, timestamp, obs):
-        """KF insert + new-point triangulation + local BA
-        (reference: LocalMapping::ProcessNewKeyFrame/CreateNewMapPoints)."""
+        """KF insert + triangulation + fusion + culling as ONE device
+        dispatch (engine/mapping.py — the LocalMapping per-keyframe work),
+        then local BA (one more dispatch) and loop closing."""
+        from .mapping import mapping_step
+
         cfg = self.cfg
-        prev_kf = self.last_kf_id
-        self.map, kf_id = ms.add_keyframe(
+        h, w = cfg.image_size
+        n_kf_before = int(self.map.n_kf)
+        prev = np.full(3, -1, np.int32)
+        ids = list(range(n_kf_before - 1, max(-1, n_kf_before - 4), -1))
+        prev[: len(ids)] = ids
+
+        res = mapping_step(
             self.map, self.cur_pose, timestamp, feats.uv, feats.desc,
-            feats.octave, feats.valid, obs)
-        kf_id = int(kf_id)
+            feats.octave, feats.valid, obs, jnp.asarray(prev),
+            self.cam_params, cam_model=cfg.cam_model, img_h=h, img_w=w,
+            culling_found_ratio=cfg.culling_found_ratio)
+        self.map = res.map
+        kf_id, n_tracked = (int(x) for x in np.asarray(res.stats))
         if kf_id < 0:
             return
-
-        # ---- new map points: triangulate unmatched features against the
-        # most recent keyframes (reference CreateNewMapPoints searches 10-30
-        # covisible KFs; recency is the covisibility proxy pre-loop-closing).
-        cur_obs = obs
-        n_kf_now = int(self.map.n_kf)
-        prev_list = [p for p in range(n_kf_now - 2, max(-1, n_kf_now - 5), -1)
-                     if 0 <= p != kf_id]
-        rays_cur = _rays_from_uv(feats.uv, self.cam_params, cfg.cam_model)
-        for prev in prev_list:
-            prev_uv = self.map.kf_uv[prev]
-            prev_desc = self.map.kf_desc[prev]
-            prev_un = (self.map.kf_feat_valid[prev]
-                       & (self.map.kf_obs_mp[prev] < 0))
-            cur_un = feats.valid & (cur_obs < 0)
-
-            pidx, pok = matcher.match_mutual(
-                prev_desc, prev_un, feats.desc, cur_un,
-                max_dist=matcher.TH_LOW)
-            pidx_c = jnp.clip(pidx, 0, cfg.orb.n_features - 1)
-
-            rays_prev = _rays_from_uv(prev_uv, self.cam_params, cfg.cam_model)
-            prev_pose = lie.SE3(self.map.kf_pose.R[prev],
-                                self.map.kf_pose.t[prev])
-            X_w, good = _triangulate_candidates(
-                prev_pose, self.cur_pose, rays_prev, rays_cur[pidx_c],
-                pok, self.cam_params, cfg.cam_model)
-
-            cam_center = lie.se3_apply(lie.se3_inverse(self.cur_pose),
-                                       jnp.zeros(3))
-            normals = X_w - cam_center
-            normals = normals / jnp.maximum(
-                jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
-            self.map, new_ids = ms.add_map_points(
-                self.map, X_w, feats.desc[pidx_c], normals,
-                jnp.int32(kf_id), jnp.int32(kf_id), good)
-
-            # register observations in both keyframes
-            kfo = self.map.kf_obs_mp
-            write = new_ids >= 0
-            prev_rows = jnp.arange(cfg.orb.n_features)
-            kfo = kfo.at[prev].set(
-                masked_set(kfo[prev], prev_rows, new_ids, write))
-            kfo = kfo.at[kf_id].set(
-                masked_set(kfo[kf_id], pidx_c, new_ids, write & (pidx >= 0)))
-            self.map = self.map._replace(kf_obs_mp=kfo)
-            cur_obs = self.map.kf_obs_mp[kf_id]
-
-        # ---- fuse duplicate points with the previous keyframe -----------
-        # (reference: LocalMapping::SearchInNeighbors two-pass Fuse,
-        # localmapping.cc:619 — merge points that project onto features
-        # already bound to another point)
-        if prev_kf >= 0:
-            self._fuse_into_keyframe(kf_id)
-
-        # ---- map point culling (reference MapPointCulling) --------------
-        ratio = self.map.mp_found / jnp.maximum(self.map.mp_visible, 1)
-        seen_enough = self.map.mp_visible >= 8
-        bad = seen_enough & (ratio < cfg.culling_found_ratio)
-        self.map = self.map._replace(mp_valid=self.map.mp_valid & ~bad)
 
         # ---- keyframe culling (reference KeyFrameCulling) ---------------
         self._cull_keyframes()
 
         self.last_kf_id = kf_id
-        self.last_kf_tracked = int(jnp.sum(self.map.kf_obs_mp[kf_id] >= 0))
+        self.last_kf_tracked = n_tracked
         self.frames_since_kf = 0
 
         self._local_ba()
@@ -637,46 +496,6 @@ class MonoTracker:
         self._merge_cooldown = 20
         return True
 
-    def _fuse_into_keyframe(self, kf_id: int):
-        """Merge map-point duplicates visible in keyframe `kf_id`.
-
-        Projects all valid map points into the keyframe; where a projected
-        point matches a feature already bound to a DIFFERENT point, the two
-        are duplicates — the older point absorbs the newer one everywhere
-        (reference MapPoint::Replace keeps the more-observed one;
-        lower row id == older == more established here).
-        """
-        cfg = self.cfg
-        m = self.map
-        h, w = cfg.image_size
-        pose = lie.SE3(m.kf_pose.R[kf_id], m.kf_pose.t[kf_id])
-        uv_pred, vis, _ = _project_map_points(
-            m.mp_pos, m.mp_valid, pose, self.cam_params, cfg.cam_model, h, w)
-        midx, mok = matcher.search_by_projection(
-            uv_pred, m.mp_desc, vis, jnp.zeros(m.max_mp, jnp.int32),
-            m.kf_uv[kf_id], m.kf_desc[kf_id], m.kf_feat_valid[kf_id],
-            m.kf_octave[kf_id], radius=4.0,
-            max_dist=matcher.TH_LOW, octave_window=16)
-        midx_c = jnp.clip(midx, 0, m.n_feat - 1)
-        bound = m.kf_obs_mp[kf_id][midx_c]          # (M,) current binding
-        mp_rows = jnp.arange(m.max_mp, dtype=jnp.int32)
-        dup = mok & (bound >= 0) & (bound != mp_rows)
-        # keep the older id: absorb the larger row into the smaller
-        keep = jnp.where(bound < mp_rows, bound, mp_rows)
-        kill = jnp.where(bound < mp_rows, mp_rows, bound)
-        # build a replacement lookup: replace[kill] = keep
-        replace = jnp.arange(m.max_mp, dtype=jnp.int32)
-        replace = masked_set(replace, kill, keep, dup)
-        # apply to all observation tables (one gather) and drop the killed
-        obs = m.kf_obs_mp
-        obs_new = jnp.where(obs >= 0, replace[jnp.clip(obs, 0, None)], obs)
-        killed_mask = masked_set(jnp.zeros(m.max_mp, bool), kill,
-                                 jnp.ones(m.max_mp, bool), dup)
-        self.map = m._replace(
-            kf_obs_mp=obs_new,
-            mp_valid=m.mp_valid & ~killed_mask,
-        )
-
     def _cull_keyframes(self):
         """Drop redundant keyframes (reference KeyFrameCulling,
         localmapping.cc:791): a keyframe whose tracked points are >=90%%
@@ -703,13 +522,15 @@ class MonoTracker:
                     self.loop_closer.db.remove(k)
                 m = self.map
 
-    def _local_ba(self):
-        """Windowed local BA: newest `ba_window` keyframes optimized, plus
-        `ba_fixed_ring` older keyframes held fixed WITH their factors
-        included — without those anchor factors, shared landmarks drift away
-        from the out-of-window keyframes and the monocular scale diverges
-        (reference: the lFixedCameras set in
-        Optimizer::LocalBundleAdjustment, optimizer.cc:1096)."""
+    def _ba_window_arrays(self, min_fixed: int):
+        """Host-side window + fixed-mask construction for local BA.
+
+        Newest `ba_window` keyframes optimized, plus `ba_fixed_ring` older
+        keyframes held fixed WITH their factors included — without those
+        anchor factors, shared landmarks drift away from the out-of-window
+        keyframes and the monocular scale diverges (reference: the
+        lFixedCameras set in Optimizer::LocalBundleAdjustment,
+        optimizer.cc:1096)."""
         cfg = self.cfg
         n_kf = int(self.map.n_kf)
         W = cfg.ba_window + cfg.ba_fixed_ring
@@ -717,57 +538,33 @@ class MonoTracker:
         window = np.full(W, -1, np.int32)
         ids = np.arange(start, n_kf, dtype=np.int32)
         window[: len(ids)] = ids
-        window_j = jnp.asarray(window)
-
-        kf_idx, mp_idx, uv, octv, valid = ms.observation_triples(
-            self.map, window_j)
-        inv_s2 = extractor.inv_scale_sigma2(cfg.orb)[
-            jnp.clip(octv, 0, cfg.orb.num_levels - 1)]
-
-        poses = lie.SE3(
-            self.map.kf_pose.R[np.clip(window, 0, None)],
-            self.map.kf_pose.t[np.clip(window, 0, None)])
-        n_in_window = len(ids)
-        # fix everything except the newest ba_window KFs; always keep at
-        # least the oldest (two, when available) fixed for the gauge
-        n_fixed = max(n_in_window - cfg.ba_window, min(2, n_in_window - 1))
+        n_in = len(ids)
+        n_fixed = max(n_in - cfg.ba_window, min(min_fixed, n_in - 1))
         fixed = np.zeros(W, bool)
         fixed[:n_fixed] = True
-        fixed |= (window < 0)
+        fixed |= window < 0
+        return window, fixed, n_in, n_fixed
 
-        prob = ba.make_problem(
-            poses, self.map.mp_pos, kf_idx, mp_idx, uv, inv_s2, valid,
-            jnp.asarray(fixed), self.cam_params,
-            fixed_point=~self.map.mp_valid, max_obs=W)
-        STAGES.bump("num_OptKF_BA", max(0, n_in_window - 2))
-        STAGES.bump("num_edges_BA", int(np.asarray(valid).sum()))
+    def _local_ba(self):
+        """Windowed local BA as ONE device dispatch (solver/local_ba.py)."""
+        from ..solver.local_ba import local_ba_step
+
+        cfg = self.cfg
+        # monocular: at least the oldest two fixed for the 7-DoF gauge
+        window, fixed, n_in, n_fixed = self._ba_window_arrays(min_fixed=2)
         with stage("local_ba"):
-            new_poses, new_points, inlier, _ = ba.bundle_adjustment(
-                prob, cam_model=cfg.cam_model,
+            self.map, costs, n_edges = local_ba_step(
+                self.map, jnp.asarray(window), jnp.asarray(fixed),
+                extractor.inv_scale_sigma2(cfg.orb), self.cam_params,
+                cam_model=cfg.cam_model,
                 iters_first=cfg.ba_iters_first,
                 iters_second=cfg.ba_iters_second)
-
-        # write back window poses (host-known distinct indices — no
-        # duplicate-scatter hazards) + all points
-        ids_j = jnp.asarray(ids)
-        self.map = self.map._replace(
-            kf_pose=lie.SE3(
-                self.map.kf_pose.R.at[ids_j].set(new_poses.R[:n_in_window]),
-                self.map.kf_pose.t.at[ids_j].set(new_poses.t[:n_in_window]),
-            ),
-            mp_pos=jnp.where(self.map.mp_valid[:, None], new_points,
-                             self.map.mp_pos),
-        )
-        # drop observations judged outliers by BA: factor layout is (W, F)
-        # row-major, so reshape the verdicts into per-window-slot rows.
-        F = self.map.n_feat
-        drop = (valid & ~inlier).reshape(W, F)[:n_in_window]
-        kfo = self.map.kf_obs_mp
-        kfo = kfo.at[ids_j].set(jnp.where(drop, -1, kfo[ids_j]))
-        self.map = self.map._replace(kf_obs_mp=kfo)
+        if STAGES.enabled:
+            STAGES.bump("num_OptKF_BA", max(0, n_in - n_fixed))
+            STAGES.bump("num_edges_BA", int(n_edges))
 
         # keep current pose consistent with the newest KF estimate
-        if self.last_kf_id >= 0 and n_in_window > 0:
+        if self.last_kf_id >= 0 and n_in > 0:
             self.cur_pose = lie.SE3(self.map.kf_pose.R[self.last_kf_id],
                                     self.map.kf_pose.t[self.last_kf_id])
 

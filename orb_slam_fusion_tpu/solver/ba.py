@@ -136,6 +136,63 @@ def make_problem(poses: lie.SE3, points, kf_idx, mp_idx, uv, inv_sigma2,
     )
 
 
+def window_landmark_groups(kf_idx: jnp.ndarray, mp_idx: jnp.ndarray,
+                           valid: jnp.ndarray, num_points: int,
+                           window_size: int
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side landmark grouping for WINDOW-structured problems.
+
+    When factors come from a keyframe window (observation_triples layout:
+    each landmark observed at most once per window row), slot (landmark,
+    window_row) is unique, so the whole grouping is ONE scatter — no host
+    round-trip, jit-traceable, O = window_size. Duplicate observations of a
+    landmark within one keyframe (possible transiently after fusion) keep
+    the largest factor row; the dropped duplicate still contributes to the
+    block diagonals, matching the host builder's max_obs truncation.
+    """
+    F = kf_idx.shape[0]
+    rows = jnp.arange(F, dtype=jnp.int32)
+    enc = jnp.where(valid, rows + 1, 0)
+    lm = jnp.zeros((num_points, window_size), jnp.int32)
+    lm = lm.at[mp_idx, kf_idx].max(enc, mode="drop")
+    return jnp.maximum(lm - 1, 0), lm > 0
+
+
+def make_window_problem(poses: lie.SE3, points, kf_idx, mp_idx, uv,
+                        inv_sigma2, valid, fixed_pose, cam_params,
+                        window_size: int, fixed_point=None, u_right=None,
+                        stereo_mask=None, bf=0.0) -> BAProblem:
+    """All-device BAProblem constructor (jit-traceable end to end).
+
+    Same surface as `make_problem` but requires the window structure that
+    `observation_triples` produces; the landmark grouping never leaves the
+    device.
+    """
+    lm_idx, lm_valid = window_landmark_groups(
+        kf_idx, mp_idx, valid, points.shape[0], window_size)
+    if fixed_point is None:
+        fixed_point = jnp.zeros(points.shape[0], dtype=bool)
+    F = kf_idx.shape[0]
+    if u_right is None:
+        u_right = jnp.zeros(F, jnp.float32)
+    if stereo_mask is None:
+        stereo_mask = jnp.zeros(F, bool)
+    return BAProblem(
+        poses=poses, points=jnp.asarray(points),
+        kf_idx=jnp.asarray(kf_idx, jnp.int32),
+        mp_idx=jnp.asarray(mp_idx, jnp.int32),
+        uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_sigma2),
+        valid=jnp.asarray(valid, bool),
+        fixed_pose=jnp.asarray(fixed_pose, bool),
+        fixed_point=jnp.asarray(fixed_point, bool),
+        cam_params=jnp.asarray(cam_params),
+        lm_factor_idx=lm_idx, lm_factor_valid=lm_valid,
+        u_right=jnp.asarray(u_right, jnp.float32),
+        stereo_mask=jnp.asarray(stereo_mask, bool),
+        bf=jnp.asarray(bf, jnp.float32),
+    )
+
+
 def _eval_factors(poses: lie.SE3, points: jnp.ndarray, prob: BAProblem,
                   cam_model: str):
     """Residuals (F,R), J_pose (F,R,6), J_point (F,R,3), depth mask (F,).
