@@ -23,12 +23,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from .. import lie
 from ..frontend import matcher
 from ..map import map_state as ms
 from ..place import KeyFrameDatabase, make_vocabulary
+from ..place.database import _query
+from ..place.vocabulary import bow_vector
 from ..solver.pose_graph import PoseGraphProblem, optimize_pose_graph
 from ..solver.sim3 import optimize_sim3, sim3_ransac
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def _detect_candidates(m: ms.MapState, bow, present, vocab, kf_id,
+                       guard_lo, top_k: int = 3):
+    """Loop-candidate detection as ONE device program: covisibility
+    exclusion + temporal guard + BoW scoring + top-k (reference:
+    DetectNBestCandidates with the covisibility-group exclusion,
+    keyframe_database.cc:579)."""
+    kf_c = jnp.clip(kf_id, 0, m.max_kf - 1)
+    W = ms.covisibility_matrix(m)
+    kfa = jnp.arange(m.max_kf)
+    exclude = (W[kf_c] > 0) | ((kfa >= guard_lo) & (kfa <= kf_id))
+    q = bow_vector(vocab, m.kf_desc[kf_c], m.kf_feat_valid[kf_c])
+    return _query(bow, present, q, exclude, top_k)
 
 
 class LoopCloser:
@@ -64,18 +83,11 @@ class LoopCloser:
         if kf_id - self.last_loop_kf < self.min_gap:
             return False
 
-        # covisibility exclusion set: KFs sharing observations with kf_id,
-        # plus a temporal guard band (recency ~ covisibility pre-loop)
-        W = ms.covisibility_matrix(m)
-        covis = np.asarray(W[kf_id] > 0)
-        exclude = np.zeros(m.max_kf, bool)
-        exclude[: m.max_kf] = False
-        exclude[covis.nonzero()[0]] = True
-        lo = max(0, kf_id - 6)
-        exclude[lo: kf_id + 1] = True
-
-        q = self.db.compute_bow(m.kf_desc[kf_id], m.kf_feat_valid[kf_id])
-        ids, scores = self.db.query(q, jnp.asarray(exclude), top_k=3)
+        # fused detection: covisibility exclusion + temporal guard + BoW
+        # scoring in one dispatch, one small sync
+        ids, scores = _detect_candidates(
+            m, self.db.bow, self.db.present, self.db.vocab,
+            jnp.int32(kf_id), jnp.int32(max(0, kf_id - 6)))
         ids = np.asarray(ids)
 
         for cand in ids:
@@ -115,10 +127,15 @@ class LoopCloser:
         uv1 = m.kf_uv[cand]
         uv2 = m.kf_uv[cur][idx_c]
 
+        # an initialized IMU makes scale observable — fix it in the Sim3
+        # search (reference: bFixedScale = IsInertial && BA2 done,
+        # loopclosing.cc:606)
+        fix_scale = self.fix_scale or bool(
+            getattr(tracker, "imu_initialized", False))
         res = sim3_ransac(
             x1, x2, pair_ok, uv1, uv2, tracker.cam_params,
             jax.random.PRNGKey(cur * 7919 + cand),
-            fix_scale=self.fix_scale, min_inliers=15,
+            fix_scale=fix_scale, min_inliers=15,
             cam_model=self.cfg.cam_model)
         if not bool(res.ok):
             return False
@@ -126,7 +143,7 @@ class LoopCloser:
         S_ref, inlier, n_in = optimize_sim3(
             res.sim, x1, x2, pair_ok, uv1, uv2,
             jnp.ones(F), jnp.ones(F), tracker.cam_params,
-            fix_scale=self.fix_scale, cam_model=self.cfg.cam_model)
+            fix_scale=fix_scale, cam_model=self.cfg.cam_model)
         if int(n_in) < 20:
             return False
 
@@ -191,7 +208,12 @@ class LoopCloser:
             edge_valid=jnp.ones(len(edge_i), bool),
             fixed=jnp.asarray(fixed),
         )
-        new_poses, costs = optimize_pose_graph(prob, iters=25)
+        # inertial maps: 4-DoF correction (yaw + translation only — roll,
+        # pitch and scale are pinned by gravity; reference:
+        # OptimizeEssentialGraph4DoF for IsInertial maps, loopclosing.cc:1084)
+        four_dof = bool(getattr(tracker, "imu_initialized", False))
+        new_poses, costs = optimize_pose_graph(prob, iters=25,
+                                               four_dof=four_dof)
 
         # ---- apply: keyframe poses (SE3 with scale folded into t) ------
         # Sim3 world->cam (s, R, t) acts x_c = s R x_w + t; the equivalent

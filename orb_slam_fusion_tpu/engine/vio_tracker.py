@@ -193,11 +193,17 @@ class InertialMixin:
 
     # -- IMU initialization ------------------------------------------------
 
-    def _inertial_factor_batch(self, lo: int, hi: int
+    def _inertial_factor_batch(self, lo: int, hi: int,
+                               pad_to: Optional[int] = None
                                ) -> Optional[InertialFactorBatch]:
-        """Batch the stored per-KF preintegrations for KF rows [lo, hi)."""
+        """Batch the stored per-KF preintegrations for KF rows [lo, hi).
+
+        `pad_to` pads the batch to a FIXED length with invalid duplicates of
+        the first factor — keeping the array shapes static across keyframes
+        so the jitted visual-inertial BA compiles exactly once instead of
+        once per distinct window occupancy.
+        """
         pres, iis, jjs = [], [], []
-        max_len = 0
         for k in range(max(lo + 1, 1), hi):
             if self.kf_pre[k] is not None:
                 pres.append(self.kf_pre[k])
@@ -205,11 +211,22 @@ class InertialMixin:
                 jjs.append(k - lo)
         if not pres:
             return None
+        n_real = len(pres)
+        if pad_to is not None:
+            if n_real > pad_to:
+                pres, iis, jjs = (pres[-pad_to:], iis[-pad_to:],
+                                  jjs[-pad_to:])
+                n_real = pad_to
+            while len(pres) < pad_to:
+                pres.append(pres[0])
+                iis.append(iis[0])
+                jjs.append(jjs[0])
         pre_b = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *pres)
         info = jax.vmap(information_from_cov)(pre_b)
+        valid = jnp.arange(len(pres)) < n_real
         return InertialFactorBatch(
             i=jnp.asarray(iis, jnp.int32), j=jnp.asarray(jjs, jnp.int32),
-            pre=pre_b, info=info, valid=jnp.ones(len(pres), bool))
+            pre=pre_b, info=info, valid=valid)
 
     def _maybe_initialize_imu(self):
         n_kf = int(self.map.n_kf)
@@ -305,7 +322,7 @@ class InertialMixin:
             jnp.asarray(fixed_pose), self.cam_params,
             fixed_point=~self.map.mp_valid, max_obs=Wpad, **stereo_kwargs)
 
-        ifac = self._inertial_factor_batch(start, n_kf)
+        ifac = self._inertial_factor_batch(start, n_kf, pad_to=Wpad - 1)
         if ifac is None:
             super()._local_ba()
             return

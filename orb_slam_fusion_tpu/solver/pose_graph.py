@@ -46,32 +46,51 @@ class PoseGraphProblem(NamedTuple):
 
 
 def _edge_residual(rel: lie.Sim3, Si: lie.Sim3, Sj: lie.Sim3,
-                   xi_i: jnp.ndarray, xi_j: jnp.ndarray) -> jnp.ndarray:
-    """7-dim residual with left-multiplicative tangent perturbations."""
-    Si_p = lie.sim3_compose(lie.sim3_exp(xi_i), Si)
-    Sj_p = lie.sim3_compose(lie.sim3_exp(xi_j), Sj)
+                   xi_i: jnp.ndarray, xi_j: jnp.ndarray,
+                   right: bool = False) -> jnp.ndarray:
+    """7-dim residual with tangent perturbations.
+
+    Left-multiplicative (camera-frame) by default; `right=True` perturbs on
+    the world side (S o exp(xi)) so tangent axes align with world axes —
+    required for the 4-DoF mode, whose yaw axis is the world gravity axis.
+    """
+    if right:
+        Si_p = lie.sim3_compose(Si, lie.sim3_exp(xi_i))
+        Sj_p = lie.sim3_compose(Sj, lie.sim3_exp(xi_j))
+    else:
+        Si_p = lie.sim3_compose(lie.sim3_exp(xi_i), Si)
+        Sj_p = lie.sim3_compose(lie.sim3_exp(xi_j), Sj)
     err = lie.sim3_compose(rel, lie.sim3_compose(
         Si_p, lie.sim3_inverse(Sj_p)))
     return lie.sim3_log(err)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20
+# tangent layout [v(3), w(3), sigma]: 4-DoF keeps translation + yaw about
+# the world z (gravity) axis, freezing roll/pitch/scale — the directions an
+# initialized IMU makes observable (reference OptimizeEssentialGraph4DoF,
+# optimizer.cc:5161, VertexPose4DoF/Edge4DoF g2o_types.h:152/773)
+_MASK_4DOF = (1.0, 1.0, 1.0, 0.0, 0.0, 1.0, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "four_dof"))
+def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20,
+                        four_dof: bool = False
                         ) -> Tuple[lie.Sim3, jnp.ndarray]:
     """Gauss-Newton pose-graph optimization. Returns (poses, costs)."""
     K = prob.poses.s.shape[0]
     E = prob.edge_i.shape[0]
     dtype = prob.poses.t.dtype
-    zero7 = jnp.zeros(7, dtype)
+    dof_mask = (jnp.asarray(_MASK_4DOF, dtype) if four_dof
+                else jnp.ones(7, dtype))
 
     def all_residuals(poses):
         Si = lie.Sim3(poses.s[prob.edge_i], poses.R[prob.edge_i],
                       poses.t[prob.edge_i])
         Sj = lie.Sim3(poses.s[prob.edge_j], poses.R[prob.edge_j],
                       poses.t[prob.edge_j])
-        r = jax.vmap(_edge_residual)(
-            prob.edge_rel, Si, Sj,
-            jnp.zeros((E, 7), dtype), jnp.zeros((E, 7), dtype))
+        r = jax.vmap(lambda rel, si, sj: _edge_residual(
+            rel, si, sj, jnp.zeros(7, dtype), jnp.zeros(7, dtype),
+            right=four_dof))(prob.edge_rel, Si, Sj)
         return r
 
     def gn_step(poses, lam):
@@ -81,7 +100,9 @@ def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20
                       poses.t[prob.edge_j])
 
         def res_ij(rel, si, sj, xi2):
-            return _edge_residual(rel, si, sj, xi2[:7], xi2[7:])
+            xi2 = xi2 * jnp.concatenate([dof_mask, dof_mask])
+            return _edge_residual(rel, si, sj, xi2[:7], xi2[7:],
+                                  right=four_dof)
 
         r = jax.vmap(lambda rel, si, sj: res_ij(rel, si, sj,
                                                 jnp.zeros(14, dtype)))(
@@ -121,7 +142,9 @@ def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20
         H = H + jnp.diag(lam * jnp.diag(H) + 1e-8)
         dx = -jax.scipy.linalg.solve(H, g.reshape(-1), assume_a="pos")
         dx = dx.reshape(K, 7)
-        dx = jnp.where(fx[:, None], 0.0, dx)
+        dx = jnp.where(fx[:, None], 0.0, dx) * dof_mask
+        if four_dof:
+            return lie.sim3_compose(poses, lie.sim3_exp(dx))
         return lie.sim3_compose(lie.sim3_exp(dx), poses)
 
     def cost(poses):

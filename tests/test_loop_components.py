@@ -171,3 +171,59 @@ class TestPoseGraph:
         serr = np.abs(np.asarray(poses.s) - 1.0).max()
         assert terr < 2e-2, terr
         assert serr < 1e-3, serr
+
+
+class TestPoseGraph4Dof:
+    def test_yaw_drift_corrected(self):
+        """4-DoF mode: yaw + translation drift is absorbed; roll/pitch and
+        scale stay untouched (reference OptimizeEssentialGraph4DoF)."""
+        K = 10
+        gt = []
+        for k in range(K):
+            ang = 2 * np.pi * k / K
+            # camera yawing about the world z axis on a circle
+            R = np.asarray(lie.so3_exp(jnp.array([0.0, 0.0, ang])))
+            t = np.array([np.sin(ang) * 2, 1 - np.cos(ang) * 2, 0.0])
+            gt.append(lie.Sim3(jnp.asarray(1.0),
+                               jnp.asarray(R, jnp.float32),
+                               jnp.asarray(t, jnp.float32)))
+        gt_b = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *gt)
+
+        edges_i, edges_j, rels = [], [], []
+        for k in range(K - 1):
+            rels.append(lie.sim3_compose(gt[k + 1], lie.sim3_inverse(gt[k])))
+            edges_i.append(k)
+            edges_j.append(k + 1)
+        rels.append(lie.sim3_compose(gt[0], lie.sim3_inverse(gt[K - 1])))
+        edges_i.append(K - 1)
+        edges_j.append(0)
+        rel_b = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *rels)
+
+        # drift only in the 4 observable dofs (world-side perturbation)
+        rng = np.random.RandomState(1)
+        drift = []
+        for k in range(K):
+            xi = np.zeros(7, np.float32)
+            xi[:3] = rng.randn(3) * 0.05 * (k / K)
+            xi[5] = 0.1 * (k / K)  # growing yaw drift (world z)
+            drift.append(lie.sim3_compose(gt[k],
+                                          lie.sim3_exp(jnp.asarray(xi))))
+        init_b = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *drift)
+
+        prob = PoseGraphProblem(
+            poses=init_b,
+            edge_i=jnp.asarray(edges_i, jnp.int32),
+            edge_j=jnp.asarray(edges_j, jnp.int32),
+            edge_rel=rel_b,
+            edge_weight=jnp.ones(K, jnp.float32),
+            edge_valid=jnp.ones(K, bool),
+            fixed=jnp.zeros(K, bool).at[0].set(True),
+        )
+        poses, costs = optimize_pose_graph(prob, iters=30, four_dof=True)
+        costs = np.asarray(costs)
+        assert costs[-1] < 1e-6, costs[-8:]
+        terr = np.abs(np.asarray(poses.t) - np.asarray(gt_b.t)).max()
+        assert terr < 2e-2, terr
+        # scale never moves in 4-DoF mode
+        serr = np.abs(np.asarray(poses.s) - 1.0).max()
+        assert serr < 1e-6, serr
