@@ -108,7 +108,8 @@ class FrameUpdate(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam_model", "img_h", "img_w", "min_matches"),
+    static_argnames=("cam_model", "img_h", "img_w", "min_matches",
+                     "use_pallas"),
     donate_argnames=("mp_visible", "mp_found"),
 )
 def fused_frame_update(
@@ -131,20 +132,24 @@ def fused_frame_update(
     radius_coarse: float = 15.0,
     radius_fine: float = 9.0,
     min_matches: int = 20,
+    use_pallas: bool = False,
 ) -> FrameUpdate:
     """One tracked frame as ONE device program (zero host round-trips).
 
     The whole of Tracking::TrackWithMotionModel + TrackLocalMap
     (tracking.cc:2163/2255) incl. the widened-window retry and the
-    mnFound/mnVisible bookkeeping. The Hamming distance matrix is computed
-    once and shared by the coarse / widened / fine matching stages (only the
-    spatial masks differ).
+    mnFound/mnVisible bookkeeping. With `use_pallas` (real TPU) the matching
+    stages run the fused Pallas kernel (frontend/pallas_match.py) that never
+    materializes the (M, F) distance matrix in HBM; the XLA fallback
+    computes the Hamming matrix once and shares it across the coarse /
+    widened / fine stages (only the spatial masks differ).
     """
     F = kp_uv.shape[0]
     M = mp_pos.shape[0]
-    dist = matcher.hamming_distance(mp_desc, kp_desc)        # (M, F)
     inv_s2 = inv_sigma2_table[
         jnp.clip(kp_octave, 0, inv_sigma2_table.shape[0] - 1)]
+    if not use_pallas:
+        dist = matcher.hamming_distance(mp_desc, kp_desc)    # (M, F)
 
     def project(pose):
         pc = lie.se3_apply(pose, mp_pos)
@@ -155,9 +160,17 @@ def fused_frame_update(
         return uv, vis
 
     def match_at(uv_pred, vis, radius):
-        d2 = jnp.sum((uv_pred[:, None, :] - kp_uv[None, :, :]) ** 2, axis=-1)
-        mask = (d2 <= radius * radius) & vis[:, None] & kp_valid[None, :]
-        idx, best, second = matcher.masked_min2(dist, mask)
+        if use_pallas:
+            from ..frontend.pallas_match import masked_match_pallas
+            idx, best, second = masked_match_pallas(
+                uv_pred, mp_desc, vis,
+                jnp.full((M,), radius, jnp.float32),
+                kp_uv, kp_desc, kp_valid)
+        else:
+            d2 = jnp.sum((uv_pred[:, None, :] - kp_uv[None, :, :]) ** 2,
+                         axis=-1)
+            mask = (d2 <= radius * radius) & vis[:, None] & kp_valid[None, :]
+            idx, best, second = matcher.masked_min2(dist, mask)
         ok = ((best <= matcher.TH_HIGH)
               & (best.astype(jnp.float32)
                  <= matcher.RATIO * second.astype(jnp.float32)))

@@ -104,6 +104,9 @@ class MonoTracker:
             from .loop_closing import LoopCloser
             self.loop_closer = LoopCloser(
                 config, config.max_keyframes, config.vocab_words)
+        # fused Pallas matching kernel on real TPU; XLA dense path on CPU
+        # (interpret-mode Pallas is orders of magnitude slower there)
+        self.use_pallas = jax.default_backend() not in ("cpu",)
         self.lost_since = -10 ** 9
         self.reloc_grace_frames = 40  # ~2 s at 20 fps (reference
         # time_recently_lost = 5 s, tracking.h:309 — shortened because the
@@ -280,7 +283,8 @@ class MonoTracker:
             cam_model=cfg.cam_model, img_h=h, img_w=w,
             radius_coarse=cfg.match_radius_coarse,
             radius_fine=cfg.match_radius_fine,
-            min_matches=cfg.min_track_matches)
+            min_matches=cfg.min_track_matches,
+            use_pallas=self.use_pallas)
         # the ONLY device->host sync of the frame
         n_matches, n_inliers = (int(x) for x in np.asarray(upd.counts))
         self.map = self.map._replace(

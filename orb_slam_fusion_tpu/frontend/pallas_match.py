@@ -2,11 +2,24 @@
 
 The dense matcher (matcher.search_by_projection) materializes the full
 (M, N) distance matrix plus masks in HBM (~35 MB per call at production
-sizes) before the argmin. This kernel streams the computation: descriptors
-and keypoint attributes stay in VMEM, each grid step computes one M-tile of
-distances in VMEM scratch, applies the spatial/validity predicates inline,
-and reduces to per-row (best index, best distance, second distance) — the
-only HBM traffic is the O(M + N) inputs and O(M) outputs.
+sizes) before the argmin. This kernel streams the computation: each grid
+step computes one M-tile of distances in VMEM and reduces to per-row
+(best index, best distance, second distance) — the only HBM traffic is the
+O(M + N) inputs and O(M) outputs.
+
+Hardware lessons baked in (learned on a real chip):
+* every operand/output is 2-D — Mosaic rejects 1-D integer operands whose
+  XLA tiling disagrees with its own;
+* the Hamming distance accumulates over the 8 descriptor words in a
+  static loop of 2-D (TILE_M, N) XOR+popcount steps — the one-shot
+  (TILE_M, N, 8) intermediate would exceed VMEM;
+* keypoint attributes arrive pre-transposed ((2, N) positions, (8, N)
+  descriptors) so every broadcast is row x column without relayouts;
+* mixed None+slice indexing lowers to an unsupported gather — slice
+  first, expand dims second;
+* validity masks are folded into geometry (invalid map point => negative
+  radius; invalid keypoint => position at 1e9) so no boolean operands
+  cross the kernel boundary.
 
 Falls back to the dense XLA path off-TPU (the `interpret=True` mode is used
 by the CPU tests for bit-exact parity).
@@ -26,35 +39,38 @@ BIG = 1 << 14  # sentinel distance (python int: pallas kernels must not
 # capture traced module-level constants)
 
 
-def _match_kernel(pred_uv_ref, mp_desc_ref, mp_valid_ref, radius_ref,
-                  kp_uv_ref, kp_desc_ref, kp_valid_ref,
+def _match_kernel(uvr_ref, mp_desc_ref, kp_uvT_ref, kp_descT_ref,
                   best_idx_ref, best_ref, second_ref):
     """One grid step handles a TILE_M slice of map points vs ALL keypoints."""
-    # (TILE_M, 8) x (N, 8) -> (TILE_M, N) hamming distances
-    d1 = mp_desc_ref[:]                       # (TILE_M, 8) uint32
-    d2 = kp_desc_ref[:]                       # (N, 8) uint32
-    x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
-    dist = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+    tile_m = uvr_ref.shape[0]
+    n = kp_uvT_ref.shape[1]
 
-    # spatial window + validity predicates. NOTE: all dim insertions happen
-    # on 32-bit values — Mosaic cannot relayout i1 (bool) across a new
-    # minor dimension.
-    duv = pred_uv_ref[:][:, None, :] - kp_uv_ref[:][None, :, :]
-    d2px = jnp.sum(duv * duv, axis=-1)
-    r = radius_ref[:]
-    mv = mp_valid_ref[:][:, None]        # int32 (TILE_M, 1)
-    kv = kp_valid_ref[:][None, :]        # int32 (1, N)
-    ok = (d2px <= (r * r)[:, None]) & (mv > 0) & (kv > 0)
+    # Hamming distance accumulated word-by-word in 2-D tiles
+    dist = jnp.zeros((tile_m, n), jnp.int32)
+    for wrd in range(8):
+        d1w = mp_desc_ref[:, wrd:wrd + 1]        # (TILE_M, 1) uint32
+        d2w = kp_descT_ref[wrd:wrd + 1, :]       # (1, N) uint32
+        dist += jax.lax.population_count(
+            jnp.bitwise_xor(d1w, d2w)).astype(jnp.int32)
+
+    # spatial window: uvr = [u, v, radius, 0]; invalid map points carry
+    # radius < 0 (empty window), invalid keypoints sit at 1e9 (outside all)
+    uvr = uvr_ref[:]                             # (TILE_M, 4)
+    du = uvr[:, 0:1] - kp_uvT_ref[0:1, :]        # (TILE_M, N)
+    dv = uvr[:, 1:2] - kp_uvT_ref[1:2, :]
+    d2px = du * du + dv * dv
+    r = uvr[:, 2:3]
+    ok = d2px <= r * jnp.abs(r)                  # r<0 -> -r^2 -> all false
     # Mosaic's argmin lowering supports float32 only; distances are small
     # integers (<= 2048) so the cast is exact.
     distf = jnp.where(ok, dist, jnp.int32(BIG)).astype(jnp.float32)
 
-    best_idx = jnp.argmin(distf, axis=1).astype(jnp.int32)
-    best = jnp.min(distf, axis=1)
-    # mask out the winner column to get the runner-up
+    # lane-direction reductions with keepdims (Mosaic-native pattern)
+    best_idx = jnp.argmin(distf, axis=1, keepdims=True).astype(jnp.int32)
+    best = jnp.min(distf, axis=1, keepdims=True)
     cols = jax.lax.broadcasted_iota(jnp.int32, distf.shape, 1)
-    dist2 = jnp.where(cols == best_idx[:, None], jnp.float32(BIG), distf)
-    second = jnp.min(dist2, axis=1)
+    dist2 = jnp.where(cols == best_idx, jnp.float32(BIG), distf)
+    second = jnp.min(dist2, axis=1, keepdims=True)
 
     best_idx_ref[:] = best_idx
     best_ref[:] = best.astype(jnp.int32)
@@ -70,32 +86,30 @@ def masked_match_pallas(
     kp_uv: jnp.ndarray,      # (N,2) f32
     kp_desc: jnp.ndarray,    # (N,8) uint32
     kp_valid: jnp.ndarray,   # (N,) bool
-    tile_m: int = 1024,
+    tile_m: int = 512,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (best_idx (M,), best (M,), second (M,)) — BIG where masked."""
     M = pred_uv.shape[0]
     N = kp_uv.shape[0]
     pad = (-M) % tile_m
+    # fold masks into geometry (see module docstring)
+    r_eff = jnp.where(mp_valid, jnp.asarray(radius, jnp.float32), -1.0)
+    uvr = jnp.concatenate(
+        [pred_uv, r_eff[:, None], jnp.zeros((M, 1), pred_uv.dtype)], axis=-1)
+    kp_uvT = jnp.where(kp_valid[None, :], kp_uv.T, 1e9)     # (2, N)
+    kp_descT = kp_desc.T                                     # (8, N)
     if pad:
-        pred_uv = jnp.pad(pred_uv, ((0, pad), (0, 0)))
+        uvr = jnp.pad(uvr, ((0, pad), (0, 0)), constant_values=-1.0)
         mp_desc = jnp.pad(mp_desc, ((0, pad), (0, 0)))
-        mp_valid = jnp.pad(mp_valid, (0, pad))
-        radius = jnp.pad(radius, (0, pad))
-    Mp = pred_uv.shape[0]
+    Mp = uvr.shape[0]
     grid = (Mp // tile_m,)
 
-    mvalid = mp_valid.astype(jnp.int32)
-    kvalid = kp_valid.astype(jnp.int32)
-
-    out_shape = (
-        jax.ShapeDtypeStruct((Mp,), jnp.int32),
-        jax.ShapeDtypeStruct((Mp,), jnp.int32),
-        jax.ShapeDtypeStruct((Mp,), jnp.int32),
-    )
-    row_spec = pl.BlockSpec((tile_m,), lambda i: (i,),
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((Mp, 1), jnp.int32) for _ in range(3))
+    out_spec = pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    row2_spec = pl.BlockSpec((tile_m, 2), lambda i: (i, 0),
+    row4_spec = pl.BlockSpec((tile_m, 4), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     row8_spec = pl.BlockSpec((tile_m, 8), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -105,13 +119,12 @@ def masked_match_pallas(
     best_idx, best, second = pl.pallas_call(
         _match_kernel,
         grid=grid,
-        in_specs=[row2_spec, row8_spec, row_spec, row_spec,
-                  full(N, 2), full(N, 8), full(N)],
-        out_specs=(row_spec, row_spec, row_spec),
+        in_specs=[row4_spec, row8_spec, full(2, N), full(8, N)],
+        out_specs=(out_spec, out_spec, out_spec),
         out_shape=out_shape,
         interpret=interpret,
-    )(pred_uv, mp_desc, mvalid, radius, kp_uv, kp_desc, kvalid)
-    return best_idx[:M], best[:M], second[:M]
+    )(uvr, mp_desc, kp_uvT, kp_descT)
+    return best_idx[:M, 0], best[:M, 0], second[:M, 0]
 
 
 def search_by_projection_pallas(

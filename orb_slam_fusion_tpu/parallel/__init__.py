@@ -10,3 +10,4 @@ optimizer step.
 """
 
 from .dist_ba import distributed_bundle_adjustment, make_slam_mesh  # noqa: F401
+from .dist_pose_graph import distributed_pose_graph  # noqa: F401

@@ -67,3 +67,49 @@ def l1_score(v: jnp.ndarray, ws: jnp.ndarray) -> jnp.ndarray:
     Reference: ScoringObject.cpp L1Scoring.
     """
     return 1.0 - 0.5 * jnp.sum(jnp.abs(v[None, :] - ws), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# binary vocabulary persistence (reference: the fork's custom
+# loadFromBinaryFile/saveToBinaryFile, TemplatedVocabulary.h:1358/1407, and
+# the txt->bin converter tools/orbvoc_binary_convertor.cc)
+# ---------------------------------------------------------------------------
+
+_VOCAB_MAGIC = b"OSFV"
+_VOCAB_VERSION = 1
+
+
+def save_vocabulary_binary(path: str, vocab: BinaryVocabulary) -> None:
+    """Write the codebook as a small self-describing binary file."""
+    words = np.asarray(vocab.words, dtype=np.uint32)
+    with open(path, "wb") as f:
+        f.write(_VOCAB_MAGIC)
+        np.array([_VOCAB_VERSION, words.shape[0]], np.uint32).tofile(f)
+        words.tofile(f)
+
+
+def load_vocabulary_binary(path: str) -> BinaryVocabulary:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != _VOCAB_MAGIC:
+            raise ValueError(f"{path}: not an OSF vocabulary file")
+        version, n = np.fromfile(f, np.uint32, 2)
+        if version != _VOCAB_VERSION:
+            raise ValueError(f"{path}: unsupported vocabulary version "
+                             f"{version}")
+        words = np.fromfile(f, np.uint32, int(n) * 8).reshape(int(n), 8)
+    return BinaryVocabulary(words=jnp.asarray(words))
+
+
+def load_vocabulary_text(path: str) -> BinaryVocabulary:
+    """Read a text vocabulary: one word per line, 8 uint32 values.
+
+    The import path for externally-trained codebooks (the reference ships
+    a text ORB vocabulary and converts it to binary with
+    orbvoc_binary_convertor; a DBoW2-format tree vocabulary's leaf
+    centroids can be exported to this flat format).
+    """
+    rows = np.loadtxt(path, dtype=np.uint64, comments="#", ndmin=2)
+    if rows.shape[1] != 8:
+        raise ValueError(f"{path}: expected 8 columns, got {rows.shape[1]}")
+    return BinaryVocabulary(words=jnp.asarray(rows.astype(np.uint32)))

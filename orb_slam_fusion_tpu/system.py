@@ -42,8 +42,14 @@ class System:
                  sensor: Sensor = Sensor.MONOCULAR,
                  settings: Optional[Settings] = None,
                  config: Optional[SlamConfig] = None,
-                 verbosity: int = Verbose.NORMAL):
+                 verbosity: int = Verbose.NORMAL,
+                 crash_dir: Optional[str] = None):
         Verbose.set_level(verbosity)
+        if crash_dir is not None:
+            # Breakpad-minidump role (reference slam_euroc_si.cc:38-57)
+            from .utils.crash import install_crash_handler, set_state_probe
+            install_crash_handler(crash_dir)
+            set_state_probe(self._crash_snapshot)
         self.sensor = sensor
         if settings is None and settings_path is not None:
             settings = load_settings(settings_path, sensor.value)
@@ -169,6 +175,12 @@ class System:
         Verbose.log(f"atlas loaded from {path} "
                     f"({int(m.n_kf)} KFs, {int(m.n_mp)} points)",
                     Verbose.NORMAL)
+
+    def _crash_snapshot(self) -> str:
+        t = self.tracker
+        return (f"sensor={self.sensor.value} state={t.state.name} "
+                f"frame={t.frame_id} kf={int(t.map.n_kf)} "
+                f"mp={int(t.map.n_mp)}")
 
     def shutdown(self) -> None:
         """Reference System::Shutdown — nothing to join here (no threads),

@@ -90,3 +90,59 @@ class TestFusedStep:
                                           lie.se3_inverse(true_pose)))
         assert np.linalg.norm(np.asarray(err)) < 1e-3
         assert int(res.n_inliers) > F // 2
+
+
+class TestDistributedPoseGraph:
+    def test_matches_single_device(self):
+        """Edge-sharded pose graph descends and matches the single-device
+        optimizer's result on a drifted loop."""
+        from orb_slam_fusion_tpu.parallel import distributed_pose_graph
+        from orb_slam_fusion_tpu.solver.pose_graph import (
+            PoseGraphProblem, optimize_pose_graph)
+
+        K = 12
+        gt = []
+        for k in range(K):
+            ang = 2 * np.pi * k / K
+            R = np.asarray(lie.so3_exp(jnp.array([0.0, ang, 0.0])))
+            t = np.array([np.sin(ang) * 3, 0.0, 3 - np.cos(ang) * 3])
+            gt.append(lie.Sim3(jnp.asarray(1.0),
+                               jnp.asarray(R, jnp.float32),
+                               jnp.asarray(t, jnp.float32)))
+        edges_i, edges_j, rels = [], [], []
+        for k in range(K - 1):
+            rels.append(lie.sim3_compose(gt[k + 1], lie.sim3_inverse(gt[k])))
+            edges_i.append(k)
+            edges_j.append(k + 1)
+        rels.append(lie.sim3_compose(gt[0], lie.sim3_inverse(gt[K - 1])))
+        edges_i.append(K - 1)
+        edges_j.append(0)
+        rel_b = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *rels)
+
+        rng = np.random.RandomState(3)
+        drift = []
+        for k in range(K):
+            xi = np.zeros(7, np.float32)
+            xi[:3] = rng.randn(3) * 0.05 * (k / K)
+            xi[6] = 0.1 * (k / K)
+            drift.append(lie.sim3_compose(
+                lie.sim3_exp(jnp.asarray(xi)), gt[k]))
+        init_b = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *drift)
+
+        prob = PoseGraphProblem(
+            poses=init_b,
+            edge_i=jnp.asarray(edges_i, jnp.int32),
+            edge_j=jnp.asarray(edges_j, jnp.int32),
+            edge_rel=rel_b,
+            edge_weight=jnp.ones(K, jnp.float32),
+            edge_valid=jnp.ones(K, bool),
+            fixed=jnp.zeros(K, bool).at[0].set(True),
+        )
+        mesh = make_slam_mesh(8)
+        # E = 12 edges pads to 16 over 8 devices
+        dposes, dcosts = distributed_pose_graph(prob, mesh, iters=25)
+        sposes, scosts = optimize_pose_graph(prob, iters=25)
+        dcosts, scosts = np.asarray(dcosts), np.asarray(scosts)
+        assert dcosts[-1] < 1e-6, dcosts[-5:]
+        terr = np.abs(np.asarray(dposes.t) - np.asarray(sposes.t)).max()
+        assert terr < 1e-3, terr

@@ -54,3 +54,23 @@ def test_vocab_guard(tmp_path):
         load_map(path, other.words)
     # loading without a vocab skips the check
     load_map(path)
+
+
+def test_vocabulary_binary_roundtrip(tmp_path):
+    """Binary vocabulary save/load + text import (reference: the fork's
+    loadFromBinaryFile/saveToBinaryFile and orbvoc_binary_convertor)."""
+    import numpy as np
+    from orb_slam_fusion_tpu.place.vocabulary import (
+        load_vocabulary_binary, load_vocabulary_text, make_vocabulary,
+        save_vocabulary_binary)
+
+    voc = make_vocabulary(256, seed=3)
+    p = str(tmp_path / "v.bin")
+    save_vocabulary_binary(p, voc)
+    back = load_vocabulary_binary(p)
+    assert (np.asarray(back.words) == np.asarray(voc.words)).all()
+
+    t = str(tmp_path / "v.txt")
+    np.savetxt(t, np.asarray(voc.words, np.uint32), fmt="%d")
+    txt = load_vocabulary_text(t)
+    assert (np.asarray(txt.words) == np.asarray(voc.words)).all()

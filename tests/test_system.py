@@ -85,3 +85,31 @@ def test_map_drawing(mono_session, tmp_path):
     p = os.path.join(tmp_path, "map.png")
     MapDrawer(sys_.tracker).save(p)
     assert os.path.getsize(p) > 10000
+
+
+def test_crash_handler(tmp_path):
+    """Crash dumps: a raised exception writes a dump file with the engine
+    snapshot (reference: Breakpad minidump handler, slam_euroc_si.cc:38)."""
+    import sys
+    from orb_slam_fusion_tpu.utils import crash
+
+    d = str(tmp_path / "dumps")
+    crash.install_crash_handler(d)
+    crash.set_state_probe(lambda: "sensor=test state=OK frame=7")
+    try:
+        try:
+            raise RuntimeError("boom")
+        except RuntimeError:
+            # simulate the interpreter's unhandled-exception path
+            hook_prev, sys.stderr = sys.stderr, open(os.devnull, "w")
+            try:
+                sys.excepthook(*sys.exc_info())
+            finally:
+                sys.stderr.close()
+                sys.stderr = hook_prev
+        files = [f for f in os.listdir(d) if f.endswith("-py.txt")]
+        assert len(files) == 1, os.listdir(d)
+        text = open(os.path.join(d, files[0])).read()
+        assert "boom" in text and "frame=7" in text
+    finally:
+        crash.uninstall_crash_handler()
