@@ -303,12 +303,19 @@ class MonoTracker:
         self.cur_pose = upd.pose
         self.velocity = upd.velocity
         self.frames_since_kf += 1
+        # inertial subclasses re-solve the frame state against the IMU
+        # factor here, BEFORE the keyframe decision records the pose
+        self._post_track_refine(feats, upd)
 
         if self._need_new_keyframe(n_inliers):
             with stage("keyframe_insert"):
                 self._insert_keyframe(feats, timestamp, upd.obs)
 
         return FrameRecord(timestamp, self.cur_pose, n_inliers, "ok")
+
+    def _post_track_refine(self, feats, upd) -> None:
+        """Hook: visual-only tracking needs no refinement (the inertial
+        mixin overrides with the per-frame pose-inertial solve)."""
 
     def _need_new_keyframe(self, n_inliers: int) -> bool:
         """Reference: Tracking::NeedNewKeyFrame (tracking.cc:2350),

@@ -66,6 +66,9 @@ class InertialMixin:
         # measurement buffers since last frame / last keyframe
         self._buf_kf = ([], [], [])   # acc, gyro, dt since last KF
         self._last_frame_time: Optional[float] = None
+        self._pre_frame: Optional[Preintegrated] = None
+        self._prev_pose_imu = self.cur_pose
+        self._prev_vel_imu = self.cur_vel
         self.init_min_time = 2.0      # seconds of KFs before IMU init
         self.init_min_kfs = 8
 
@@ -92,6 +95,12 @@ class InertialMixin:
             g.extend(gyro_w.tolist())
             d.extend(dts_w.tolist())
 
+        # previous frame's OPTIMIZED state: the fixed side of the per-frame
+        # pose-inertial factor (reference PoseInertialOptimizationLastFrame)
+        self._pre_frame = pre_frame
+        self._prev_pose_imu = self.cur_pose
+        self._prev_vel_imu = self.cur_vel
+
         # IMU pose prediction replaces the constant-velocity model
         if self.imu_initialized and pre_frame is not None \
                 and self.state == TrackState.OK:
@@ -104,6 +113,38 @@ class InertialMixin:
     def _process_visual(self, feats, timestamp) -> FrameRecord:
         """Visual routing hook — stereo subclasses bootstrap differently."""
         return self.process_features(feats, timestamp)
+
+    def _post_track_refine(self, feats, upd) -> None:
+        """Per-frame pose-inertial re-solve (reference:
+        Optimizer::PoseInertialOptimizationLastFrame, optimizer.cc:4762):
+        with matches fixed, the frame state [pose, velocity] is optimized
+        against reprojection + the preintegrated factor from the previous
+        frame, whose state is held fixed. One extra device dispatch, no
+        host sync."""
+        if not self.imu_initialized or self._pre_frame is None:
+            return
+        from ..frontend import extractor as _ext
+        from ..imu.factors import information_from_cov
+        from ..solver.pose_inertial import pose_inertial_optimization
+
+        m = self.map
+        obs = upd.obs
+        mp = jnp.clip(obs, 0, m.max_mp - 1)
+        valid = (obs >= 0) & feats.valid
+        cfg = self.cfg
+        inv_s2 = _ext.inv_scale_sigma2(cfg.orb)[
+            jnp.clip(feats.octave, 0, cfg.orb.num_levels - 1)]
+        info = information_from_cov(self._pre_frame)
+        pose, vel, inlier, n_in = pose_inertial_optimization(
+            self.cur_pose, jnp.asarray(self.cur_vel),
+            self._prev_pose_imu, jnp.asarray(self._prev_vel_imu),
+            self.bias, self._pre_frame, info, self.calib,
+            m.mp_pos[mp], feats.uv, inv_s2, valid, self.cam_params,
+            cam_model=cfg.cam_model)
+        self.cur_pose = pose
+        self.cur_vel = vel
+        self.velocity = lie.se3_compose(pose,
+                                        lie.se3_inverse(self.last_pose))
 
     # -- prediction --------------------------------------------------------
 
@@ -190,6 +231,7 @@ class InertialMixin:
         self.cur_vel = jnp.zeros(3, jnp.float32)
         self.kf_vel, self.kf_bias, self.kf_pre, self.kf_time = [], [], [], []
         self._buf_kf = ([], [], [])
+        self._pre_frame = None
 
     # -- IMU initialization ------------------------------------------------
 
