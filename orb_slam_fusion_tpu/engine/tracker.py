@@ -504,6 +504,36 @@ class MonoTracker:
             db.present[:n_new])
         db.bow = new_bow
         db.present = new_present
+
+        # ---- welding BA (reference: the explicit adjust/fixed-set
+        # LocalBundleAdjustment run by MergeLocal, optimizer.cc:3436):
+        # optimize the welded-in keyframes around the seam against the
+        # anchored old-map neighborhood so the Sim3 weld residual is
+        # absorbed into poses/points rather than left at the boundary.
+        from ..solver.local_ba import local_ba_step
+        cfg = self.cfg
+        W = cfg.ba_window + cfg.ba_fixed_ring
+        n_total = int(self.map.n_kf)
+        # old-map side: candidate neighborhood (fixed anchors)
+        old_side = list(range(max(0, cand - 2), min(kf_off, cand + 3)))
+        # new-map side: the welded-in keyframes nearest the seam (adjusted)
+        new_side = list(range(max(kf_off, n_total - (W - len(old_side))),
+                              n_total))
+        window = np.full(W, -1, np.int32)
+        ids = (old_side + new_side)[:W]
+        window[: len(ids)] = ids
+        fixed = np.zeros(W, bool)
+        fixed[: len(old_side)] = True
+        fixed |= window < 0
+        self.map, _, _ = local_ba_step(
+            self.map, jnp.asarray(window), jnp.asarray(fixed),
+            extractor.inv_scale_sigma2(cfg.orb), self.cam_params,
+            cam_model=cfg.cam_model,
+            iters_first=cfg.ba_iters_first,
+            iters_second=cfg.ba_iters_second)
+        self.cur_pose = lie.SE3(self.map.kf_pose.R[self.last_kf_id],
+                                self.map.kf_pose.t[self.last_kf_id])
+
         self._merge_cooldown = 20
         return True
 

@@ -41,14 +41,19 @@ def _ring_stack(img: jnp.ndarray) -> jnp.ndarray:
 def _has_arc(mask16: jnp.ndarray) -> jnp.ndarray:
     """mask16: (16, H, W) bool -> (H, W) bool: any >=ARC_LENGTH circular run.
 
-    AND of ARC_LENGTH consecutive circular shifts along the ring axis.
+    Bit-packed: the 16 comparisons collapse into one (H, W) uint32 word per
+    pixel, the word is duplicated into the upper half to emulate the
+    circular wrap, and ARC_LENGTH shifted copies are ANDed — all further
+    traffic is (H, W)-sized instead of (16, H, W)-sized.
     """
-    acc = mask16
-    shifted = mask16
-    for _ in range(ARC_LENGTH - 1):
-        shifted = jnp.roll(shifted, -1, axis=0)
-        acc = acc & shifted
-    return jnp.any(acc, axis=0)
+    weights = (jnp.uint32(1) << jnp.arange(16, dtype=jnp.uint32))
+    bits = jnp.sum(mask16.astype(jnp.uint32)
+                   * weights[:, None, None], axis=0)          # (H, W)
+    m = bits | (bits << 16)
+    acc = m
+    for k in range(1, ARC_LENGTH):
+        acc = acc & (m >> k)
+    return (acc & jnp.uint32(0xFFFF)) != 0
 
 
 def fast_score_map(img: jnp.ndarray, threshold: float,
@@ -61,6 +66,11 @@ def fast_score_map(img: jnp.ndarray, threshold: float,
     h, w = img.shape
     ring = _ring_stack(img)                 # (16,H,W)
     diff = ring - img[None]                 # (16,H,W)
+    return _score_from_diff(diff, threshold, h, w, border)
+
+
+def _score_from_diff(diff: jnp.ndarray, threshold: float, h: int, w: int,
+                     border: int) -> jnp.ndarray:
     brighter = diff > threshold
     darker = diff < -threshold
 
@@ -94,9 +104,14 @@ def detect(img: jnp.ndarray, threshold_high: float = 20.0,
     found nothing (orb_extractor.cc:789-797). The batched equivalent: compute
     both maps; the selection stage prefers high-threshold corners by boosting
     their score so low-threshold ones only fill otherwise-empty cells.
+    The ring stack and difference tensor are computed once and shared by
+    both thresholds (the dominant HBM traffic of the detector).
     """
-    hi = fast_score_map(img, threshold_high, border)
-    lo = fast_score_map(img, threshold_low, border)
+    h, w = img.shape
+    ring = _ring_stack(img)
+    diff = ring - img[None]
+    hi = _score_from_diff(diff, threshold_high, h, w, border)
+    lo = _score_from_diff(diff, threshold_low, h, w, border)
     # High-threshold corners dominate ranking; low-threshold ones keep a
     # small positive score so empty cells can still be filled.
     combined = jnp.where(hi > 0.0, hi + 1e4, lo)
