@@ -151,6 +151,68 @@ int64_t osf_parse_euroc_cam(const char* path, double* out_t,
 }
 
 // ---------------------------------------------------------------------------
+// DBoW2 text vocabulary parsing (reference: TemplatedVocabulary.h
+// loadFromTextFile:1248). Header "k L scoring weighting"; per node:
+// "parent is_leaf b0..b31 weight". ORBvoc.txt is ~1.1M lines / 145 MB —
+// Python-side parsing takes minutes, this sweep takes well under a second.
+// Two-pass API: out_parent==NULL -> returns node count and fills header[4]
+// with {k, L, scoring, weighting}.
+// ---------------------------------------------------------------------------
+int64_t osf_parse_dbow2_text(const char* path, int32_t* header,
+                             int32_t* out_parent, uint8_t* out_is_leaf,
+                             uint8_t* out_desc, float* out_weight,
+                             int64_t capacity) {
+  FILE* fp = std::fopen(path, "r");
+  if (!fp) return -1;
+  char line[2048];
+  if (!std::fgets(line, sizeof(line), fp)) {
+    std::fclose(fp);
+    return -1;
+  }
+  int k = 0, L = 0, scoring = 0, weighting = 0;
+  if (std::sscanf(line, "%d %d %d %d", &k, &L, &scoring, &weighting) < 2) {
+    std::fclose(fp);
+    return -1;
+  }
+  if (header) {
+    header[0] = k;
+    header[1] = L;
+    header[2] = scoring;
+    header[3] = weighting;
+  }
+  int64_t n = 0;
+  while (std::fgets(line, sizeof(line), fp)) {
+    char* p = line;
+    char* end;
+    long parent = std::strtol(p, &end, 10);
+    if (end == p) continue;  // blank line
+    p = end;
+    long is_leaf = std::strtol(p, &end, 10);
+    p = end;
+    uint8_t d[32];
+    bool ok = true;
+    for (int i = 0; i < 32; ++i) {
+      long b = std::strtol(p, &end, 10);
+      if (end == p) { ok = false; break; }
+      d[i] = (uint8_t)b;
+      p = end;
+    }
+    if (!ok) continue;
+    double w = std::strtod(p, &end);
+    if (out_parent != nullptr) {
+      if (n >= capacity) break;
+      out_parent[n] = (int32_t)parent;
+      out_is_leaf[n] = (uint8_t)(is_leaf > 0);
+      std::memcpy(out_desc + n * 32, d, 32);
+      out_weight[n] = (float)w;
+    }
+    ++n;
+  }
+  std::fclose(fp);
+  return n;
+}
+
+// ---------------------------------------------------------------------------
 // Timestamp association: for each query time, the index of the nearest
 // reference time within max_dt (else -1). Both arrays sorted ascending.
 // Replaces evaluation/associate.py's O(N*M) matching with a linear sweep.

@@ -53,3 +53,5 @@ class SlamConfig(NamedTuple):
     # loop closing
     loop_closing: bool = True
     vocab_words: int = 4096
+    vocab_path: str = ""   # optional DBoW2 tree vocabulary file (.txt/.bin);
+    # empty -> seeded flat LSH codebook of vocab_words words

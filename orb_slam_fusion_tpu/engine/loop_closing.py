@@ -29,15 +29,14 @@ from .. import lie
 from ..frontend import matcher
 from ..map import map_state as ms
 from ..place import KeyFrameDatabase, make_vocabulary
-from ..place.database import _query
-from ..place.vocabulary import bow_vector
+from ..place.database import _query, compute_bow_vector
 from ..solver.pose_graph import PoseGraphProblem, optimize_pose_graph
 from ..solver.sim3 import optimize_sim3, sim3_ransac
 
 
-@functools.partial(jax.jit, static_argnames=("top_k",))
+@functools.partial(jax.jit, static_argnames=("top_k", "levels"))
 def _detect_candidates(m: ms.MapState, bow, present, vocab, kf_id,
-                       guard_lo, top_k: int = 3):
+                       guard_lo, top_k: int = 3, levels: int = 0):
     """Loop-candidate detection as ONE device program: covisibility
     exclusion + temporal guard + BoW scoring + top-k (reference:
     DetectNBestCandidates with the covisibility-group exclusion,
@@ -46,15 +45,30 @@ def _detect_candidates(m: ms.MapState, bow, present, vocab, kf_id,
     W = ms.covisibility_matrix(m)
     kfa = jnp.arange(m.max_kf)
     exclude = (W[kf_c] > 0) | ((kfa >= guard_lo) & (kfa <= kf_id))
-    q = bow_vector(vocab, m.kf_desc[kf_c], m.kf_feat_valid[kf_c])
+    q = compute_bow_vector(vocab, m.kf_desc[kf_c], m.kf_feat_valid[kf_c],
+                           levels)
     return _query(bow, present, q, exclude, top_k)
+
+
+def _make_vocabulary(cfg, vocab_words: int):
+    """Vocabulary from config: a file-loaded DBoW2 tree when
+    `vocab_path` is set (reference: System loads ORBvoc from disk,
+    system.cc:129), else the seeded flat LSH codebook."""
+    path = getattr(cfg, "vocab_path", "") or ""
+    if path:
+        from ..place.tree_vocabulary import load_tree_binary, load_tree_text
+        if path.endswith(".txt"):
+            return load_tree_text(path)
+        return load_tree_binary(path)
+    return make_vocabulary(vocab_words), 0
 
 
 class LoopCloser:
     def __init__(self, cfg, max_kf: int, vocab_words: int = 4096,
                  fix_scale: bool = False):
         self.cfg = cfg
-        self.db = KeyFrameDatabase(make_vocabulary(vocab_words), max_kf)
+        vocab, levels = _make_vocabulary(cfg, vocab_words)
+        self.db = KeyFrameDatabase(vocab, max_kf, levels)
         self.fix_scale = fix_scale
         self.last_loop_kf = -10 ** 9
         self.min_gap = 10           # KFs between loop closures
@@ -87,7 +101,8 @@ class LoopCloser:
         # scoring in one dispatch, one small sync
         ids, scores = _detect_candidates(
             m, self.db.bow, self.db.present, self.db.vocab,
-            jnp.int32(kf_id), jnp.int32(max(0, kf_id - 6)))
+            jnp.int32(kf_id), jnp.int32(max(0, kf_id - 6)),
+            levels=self.db.levels)
         ids = np.asarray(ids)
 
         for cand in ids:

@@ -136,3 +136,24 @@ def rotation_consistency_mask(angle1: jnp.ndarray, angle2: jnp.ndarray,
     _, top_bins = jax.lax.top_k(hist, keep_bins)
     in_top = jnp.any(bins[:, None] == top_bins[None, :], axis=1)
     return ok & in_top
+
+
+def search_by_bow(node1: jnp.ndarray, desc1: jnp.ndarray, valid1: jnp.ndarray,
+                  node2: jnp.ndarray, desc2: jnp.ndarray, valid2: jnp.ndarray,
+                  max_dist: int = TH_LOW, ratio: float = RATIO
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Direct-index-constrained matching (ORBmatcher::SearchByBoW).
+
+    Reference (orb_matcher.cc:215 KF-frame, :697 KF-KF): features are only
+    compared when their descriptors quantize through the SAME vocabulary
+    node at the direct-index level (DBoW2 FeatureVector buckets) — a
+    drastically pruned brute force. Here the bucket constraint is a node-id
+    equality mask over the dense distance matrix; node ids come from
+    `tree_vocabulary.quantize_tree`'s direct output (-1 = invalid, never
+    matches).
+
+    Returns (match_idx (N,) into desc2 or -1, ok (N,)).
+    """
+    same_node = (node1[:, None] == node2[None, :]) & (node1 >= 0)[:, None]
+    mask = same_node & valid1[:, None] & valid2[None, :]
+    return match_masked(desc1, desc2, mask, max_dist, ratio)

@@ -62,6 +62,14 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.osf_associate.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_double, ctypes.c_void_p]
+    try:
+        lib.osf_parse_dbow2_text.restype = ctypes.c_int64
+        lib.osf_parse_dbow2_text.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
+    except AttributeError:
+        pass  # stale library build without the vocab parser
     _LIB = lib
     return _LIB
 
@@ -163,6 +171,32 @@ def associate(query_t: np.ndarray, ref_t: np.ndarray,
                 best, bd = jj, abs(ref_t[jj] - q)
         out[i] = best
     return out
+
+
+def parse_dbow2_text(path: str):
+    """Native DBoW2 text-vocabulary parse.
+
+    Returns (k, levels, parents (N,) i32, is_leaf (N,) u8,
+    descs (N,8) u32, weights (N,) f32) or None if the native library is
+    unavailable (callers fall back to numpy parsing).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "osf_parse_dbow2_text"):
+        return None
+    header = np.zeros(4, np.int32)
+    n = lib.osf_parse_dbow2_text(path.encode(), header.ctypes.data,
+                                 None, None, None, None, 0)
+    if n < 0:
+        raise FileNotFoundError(path)
+    parents = np.zeros(n, np.int32)
+    is_leaf = np.zeros(n, np.uint8)
+    descs = np.zeros((n, 32), np.uint8)
+    weights = np.zeros(n, np.float32)
+    lib.osf_parse_dbow2_text(path.encode(), header.ctypes.data,
+                             parents.ctypes.data, is_leaf.ctypes.data,
+                             descs.ctypes.data, weights.ctypes.data, n)
+    return (int(header[0]), int(header[1]), parents, is_leaf,
+            np.ascontiguousarray(descs).view(np.uint32), weights)
 
 
 def covisibility(obs: np.ndarray, num_points: int) -> np.ndarray:

@@ -16,19 +16,43 @@ import jax
 import jax.numpy as jnp
 
 from .vocabulary import BinaryVocabulary, bow_vector
+from .tree_vocabulary import TreeVocabulary, bow_vector_tree
+
+
+def compute_bow_vector(vocab, desc: jnp.ndarray, valid: jnp.ndarray,
+                       levels: int = 0) -> jnp.ndarray:
+    """Polymorphic BoW: flat LSH codebook or hierarchical tree.
+
+    `levels` is the tree depth (static; ignored for flat vocabularies).
+    Safe to call under jit — the dispatch happens at trace time.
+    """
+    if isinstance(vocab, TreeVocabulary):
+        return bow_vector_tree(vocab, desc, valid, levels)
+    return bow_vector(vocab, desc, valid)
+
+
+def vocab_size(vocab) -> int:
+    if isinstance(vocab, TreeVocabulary):
+        return vocab.num_words
+    return vocab.words.shape[0]
 
 
 class KeyFrameDatabase:
-    """Host-managed dense BoW database (device-resident arrays)."""
+    """Host-managed dense BoW database (device-resident arrays).
 
-    def __init__(self, vocab: BinaryVocabulary, max_kf: int):
+    Accepts either a flat `BinaryVocabulary` or a hierarchical
+    `TreeVocabulary` (pass its depth as `levels`).
+    """
+
+    def __init__(self, vocab, max_kf: int, levels: int = 0):
         self.vocab = vocab
-        V = vocab.words.shape[0]
+        self.levels = levels
+        V = vocab_size(vocab)
         self.bow = jnp.zeros((max_kf, V), jnp.float32)
         self.present = jnp.zeros(max_kf, bool)
 
     def add(self, kf_id: int, desc: jnp.ndarray, valid: jnp.ndarray) -> None:
-        vec = bow_vector(self.vocab, desc, valid)
+        vec = self.compute_bow(desc, valid)
         self.bow = self.bow.at[kf_id].set(vec)
         self.present = self.present.at[kf_id].set(True)
 
@@ -36,7 +60,7 @@ class KeyFrameDatabase:
         self.present = self.present.at[kf_id].set(False)
 
     def compute_bow(self, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-        return bow_vector(self.vocab, desc, valid)
+        return compute_bow_vector(self.vocab, desc, valid, self.levels)
 
     def query(self, query_vec: jnp.ndarray, exclude: jnp.ndarray,
               top_k: int = 3) -> Tuple[jnp.ndarray, jnp.ndarray]:

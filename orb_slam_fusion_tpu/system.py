@@ -147,9 +147,17 @@ class System:
 
     # -- atlas persistence (reference SaveAtlas/LoadAtlas) -----------------
 
+    def _vocab_words(self):
+        """Checksum-able vocabulary array (flat codebook or tree
+        centroids) for the atlas MD5 guard (reference: system.cc:1391)."""
+        lc = self.tracker.loop_closer
+        if lc is None:
+            return None
+        vocab = lc.db.vocab
+        return vocab.words if hasattr(vocab, "words") else vocab.node_desc
+
     def save_atlas(self, path: str) -> None:
-        vocab = (self.tracker.loop_closer.db.vocab.words
-                 if self.tracker.loop_closer else None)
+        vocab = self._vocab_words()
         extras = {}
         if hasattr(self.tracker, "kf_uright"):
             extras["kf_uright"] = self.tracker.kf_uright
@@ -157,8 +165,7 @@ class System:
         Verbose.log(f"atlas saved to {path}", Verbose.NORMAL)
 
     def load_atlas(self, path: str) -> None:
-        vocab = (self.tracker.loop_closer.db.vocab.words
-                 if self.tracker.loop_closer else None)
+        vocab = self._vocab_words()
         m, extras = load_map(path, vocab)
         self.tracker.map = m
         if "kf_uright" in extras and hasattr(self.tracker, "kf_uright"):

@@ -151,3 +151,42 @@ def test_loop_detect_and_correct():
         before.append(0)
     err = ate_rmse(centers, gt_centers, with_scale=False)
     assert err < 0.25, f"post-correction ATE {err:.3f}"
+
+
+def test_loop_closing_with_tree_vocabulary(tmp_path):
+    """Same loop, but candidates retrieved through a DBoW2-style tree
+    vocabulary loaded from disk via SlamConfig.vocab_path (reference:
+    System loads ORBvoc.bin at startup, system.cc:129)."""
+    from orb_slam_fusion_tpu.place.tree_vocabulary import (
+        save_tree_binary, train_vocabulary)
+
+    m, gt, drifts, cfg = build_drifted_loop_map()
+    K = len(gt)
+
+    # train a small tree on the map's own descriptors and save it in the
+    # fork's binary format
+    all_desc = np.asarray(m.kf_desc[:K]).reshape(-1, 8)
+    vocab = train_vocabulary(all_desc[:2000], k=8, levels=3, seed=1)
+    path = str(tmp_path / "voc.bin")
+    save_tree_binary(path, vocab, levels=3)
+
+    cfg = cfg._replace(vocab_path=path)
+    tracker = FakeTracker(m, CAM, K - 1)
+    closer = LoopCloser(cfg, cfg.max_keyframes)
+    assert closer.db.levels == 3
+    for k in range(K):
+        closer.add_keyframe(k, m.kf_desc[k], m.kf_feat_valid[k])
+
+    closed = closer.try_close(tracker)
+    assert closed, "loop was not detected/closed with tree vocabulary"
+
+    mm = tracker.map
+    centers = np.asarray([
+        np.asarray(lie.se3_inverse(
+            lie.SE3(mm.kf_pose.R[k], mm.kf_pose.t[k])).t)
+        for k in range(K)])
+    gt_centers = np.asarray([
+        np.asarray(lie.se3_inverse(gt[k]).t) for k in range(K)])
+    from orb_slam_fusion_tpu.io import ate_rmse
+    err = ate_rmse(centers, gt_centers, with_scale=False)
+    assert err < 0.25, f"post-correction ATE {err:.3f}"

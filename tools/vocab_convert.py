@@ -9,6 +9,13 @@ Usage:
     python tools/vocab_convert.py txt2bin IN.txt OUT.bin
     python tools/vocab_convert.py generate OUT.bin [num_words] [seed]
     python tools/vocab_convert.py info VOCAB.bin
+    python tools/vocab_convert.py tree-txt2bin ORBvoc.txt OUT.bin
+    python tools/vocab_convert.py tree-info VOCAB.bin
+
+The tree-* commands operate on DBoW2-format hierarchical vocabularies
+(the exact formats the reference reads/writes: loadFromTextFile /
+loadFromBinaryFile, TemplatedVocabulary.h:1248/1358) — `tree-txt2bin` is
+the reference's orbvoc_binary_convertor with the same round-trip check.
 """
 
 import sys
@@ -46,6 +53,23 @@ def main(argv):
     elif cmd == "info":
         voc = load_vocabulary_binary(argv[2])
         print(f"{argv[2]}: {voc.words.shape[0]} words, 256-bit")
+    elif cmd == "tree-txt2bin":
+        from orb_slam_fusion_tpu.place.tree_vocabulary import (
+            load_tree_binary, load_tree_text, save_tree_binary)
+        voc, levels = load_tree_text(argv[2])
+        save_tree_binary(argv[3], voc, levels)
+        back, back_levels = load_tree_binary(argv[3])
+        assert back_levels == levels
+        assert (np.asarray(back.node_desc) == np.asarray(voc.node_desc)).all()
+        assert (np.asarray(back.word_weight)
+                == np.asarray(voc.word_weight)).all()
+        print(f"{argv[3]}: k={voc.branching} L={levels} "
+              f"{voc.num_words} words (round-trip verified)")
+    elif cmd == "tree-info":
+        from orb_slam_fusion_tpu.place.tree_vocabulary import load_tree_binary
+        voc, levels = load_tree_binary(argv[2])
+        print(f"{argv[2]}: k={voc.branching} L={levels} "
+              f"{voc.num_words} words, {voc.node_desc.shape[0]} nodes")
     else:
         print(__doc__)
         return 1
