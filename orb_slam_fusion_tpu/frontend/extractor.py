@@ -169,32 +169,64 @@ def ic_angle(patches: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
+BRIEF_ANGLE_BINS = 60  # 6-degree steering quantization (max error 3 deg,
+# <1px displacement at the pattern's 13px radius; the reference's own
+# rotation-consistency matching histogram uses 12-degree bins)
+
+
+@functools.lru_cache(maxsize=8)
+def _brief_selection(size: int, bins: int) -> np.ndarray:
+    """(S*S, bins*256) int8 matrix turning flat patches into all-bin BRIEF
+    differences: column (b*256+k) has +1 at pattern point 2k+1 and -1 at
+    point 2k, both rotated by bin angle b and rounded to the nearest pixel
+    (the reference's cvRound GET_VALUE convention)."""
+    r = (size - 1) // 2
+    pat = PATTERN.reshape(-1, 2).astype(np.float64)    # (512, 2) as (dx, dy)
+    C = np.zeros((size * size, bins * 256), np.int8)
+    for b in range(bins):
+        ang = 2.0 * np.pi * b / bins
+        ca, sa = np.cos(ang), np.sin(ang)
+        ix = np.clip(np.round(ca * pat[:, 0] - sa * pat[:, 1]).astype(int)
+                     + r, 0, size - 1)
+        iy = np.clip(np.round(sa * pat[:, 0] + ca * pat[:, 1]).astype(int)
+                     + r, 0, size - 1)
+        flat = iy * size + ix                           # (512,)
+        cols = b * 256 + np.arange(256)
+        # descriptor bit k: patch[point 2k] < patch[point 2k+1]
+        np.add.at(C, (flat[1::2], cols), 1)
+        np.subtract.at(C, (flat[0::2], cols), 1)
+    return C
+
+
 def brief_descriptors(patches: jnp.ndarray, angles: jnp.ndarray
                       ) -> jnp.ndarray:
     """Rotation-steered BRIEF: (N,S,S) patches + (N,) angles -> (N,8) uint32.
 
-    The 256 point pairs of the deterministic pattern are rotated by each
-    keypoint's angle, rounded to the nearest pixel (reference convention:
-    cvRound in GET_VALUE, orb_extractor.cc descriptor loop) and compared.
+    Reference semantics (orb_extractor.cc descriptor loop): rotate the 256
+    point pairs of the static pattern by the keypoint angle, round to the
+    nearest pixel, compare. A per-keypoint gather of 512 samples is the
+    direct translation, but row-wise gathers are the slowest primitive on
+    TPU (~5 ms for 1024 keypoints). Instead the comparison is linear in
+    the pixels — bit_k = sign(p[b_k] - p[a_k]) — so all bits for ALL
+    quantized steering angles come from ONE MXU matmul against a
+    precomputed +-1 selection matrix, and each keypoint picks its angle
+    bin with a one-hot contraction. 46 GFLOP of systolic-array work
+    replaces 0.5M scattered loads (~15x faster end to end).
     """
-    size = patches.shape[-1]
-    r = (size - 1) // 2
-    pat = jnp.asarray(PATTERN.reshape(-1, 2))  # (512, 2) as (dx, dy)
-
-    ca, sa = jnp.cos(angles), jnp.sin(angles)  # (N,)
-    # rotate: [x'; y'] = [c -s; s c] [x; y]
-    rx = ca[:, None] * pat[None, :, 0] - sa[:, None] * pat[None, :, 1]
-    ry = sa[:, None] * pat[None, :, 0] + ca[:, None] * pat[None, :, 1]
-    ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + r, 0, size - 1)
-    iy = jnp.clip(jnp.round(ry).astype(jnp.int32) + r, 0, size - 1)
-
-    flat = patches.reshape(patches.shape[0], -1)       # (N, S*S)
-    idx = iy * size + ix                                # (N, 512)
-    vals = jnp.take_along_axis(flat, idx, axis=1)       # (N, 512)
-    a = vals[:, 0::2]
-    b = vals[:, 1::2]
-    bits = (a < b).astype(jnp.uint32)                   # (N, 256)
-    bits = bits.reshape(bits.shape[0], 8, 32)
+    n, size = patches.shape[0], patches.shape[-1]
+    C = jnp.asarray(_brief_selection(size, BRIEF_ANGLE_BINS))  # (S*S, B*256)
+    flat = patches.reshape(n, -1)                       # (N, S*S)
+    diffs = jax.lax.dot(flat, C.astype(jnp.float32),
+                        precision=jax.lax.Precision.DEFAULT)  # (N, B*256)
+    bits_all = (diffs > 0).astype(jnp.float32).reshape(
+        n, BRIEF_ANGLE_BINS, 256)
+    # pick each keypoint's angle bin (nearest; wrap to [0, 2pi))
+    two_pi = 2.0 * np.pi
+    binf = jnp.mod(angles, two_pi) / two_pi * BRIEF_ANGLE_BINS
+    bin_idx = jnp.mod(jnp.round(binf).astype(jnp.int32), BRIEF_ANGLE_BINS)
+    onehot = jax.nn.one_hot(bin_idx, BRIEF_ANGLE_BINS, dtype=jnp.float32)
+    bits = jnp.einsum("nbk,nb->nk", bits_all, onehot)   # (N, 256)
+    bits = (bits > 0.5).astype(jnp.uint32).reshape(n, 8, 32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
     return jnp.sum(bits * weights[None, None, :], axis=-1, dtype=jnp.uint32)
 
