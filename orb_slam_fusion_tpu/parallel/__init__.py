@@ -11,3 +11,5 @@ optimizer step.
 
 from .dist_ba import distributed_bundle_adjustment, make_slam_mesh  # noqa: F401
 from .dist_pose_graph import distributed_pose_graph  # noqa: F401
+from .dist_track import (  # noqa: F401
+    DistFrameResult, distributed_frame_update, pad_map_for_mesh)

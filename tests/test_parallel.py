@@ -146,3 +146,66 @@ class TestDistributedPoseGraph:
         assert dcosts[-1] < 1e-6, dcosts[-5:]
         terr = np.abs(np.asarray(dposes.t) - np.asarray(sposes.t)).max()
         assert terr < 1e-3, terr
+
+
+class TestDistributedTracking:
+    """Map-sharded per-frame tracking (parallel/dist_track.py)."""
+
+    def _frame(self, M=256, F=128):
+        key = jax.random.PRNGKey(2)
+        pts = jax.random.uniform(key, (M, 3), minval=-2, maxval=2) \
+            + jnp.array([0.0, 0.0, 6.0])
+        desc = jax.random.randint(
+            jax.random.PRNGKey(3), (M, 8), 0, 2 ** 31 - 1,
+            dtype=jnp.int32).astype(jnp.uint32)
+        true_pose = lie.se3_exp(
+            jnp.array([0.05, -0.02, 0.1, 0.01, 0.02, -0.01]))
+        pc = lie.se3_apply(true_pose, pts)
+        uv = cameras.pinhole_project(CAM, pc)
+        inb = ((uv[:, 0] >= 0) & (uv[:, 0] < 752)
+               & (uv[:, 1] >= 0) & (uv[:, 1] < 480))
+        sel = jnp.nonzero(inb, size=F, fill_value=0)[0]
+        return pts, desc, true_pose, uv[sel], desc[sel], inb[sel]
+
+    def test_recovers_pose_on_mesh(self):
+        from orb_slam_fusion_tpu.parallel import (
+            distributed_frame_update, pad_map_for_mesh)
+        M, F = 256, 128
+        pts, desc, true_pose, kp_uv, kp_desc, kp_valid = self._frame(M, F)
+        mesh = make_slam_mesh(8)
+        mp = pad_map_for_mesh(mesh, pts, desc, jnp.ones(M, bool),
+                              jnp.zeros(M, jnp.int32), jnp.zeros(M, jnp.int32))
+        res = distributed_frame_update(
+            *mp, lie.se3_identity(), lie.se3_identity(),
+            kp_uv, kp_desc, kp_valid, jnp.ones(F), CAM, mesh, iters=10)
+        err = lie.se3_log(lie.se3_compose(res.pose,
+                                          lie.se3_inverse(true_pose)))
+        assert np.linalg.norm(np.asarray(err)) < 1e-3
+        n_match, n_in = np.asarray(res.counts)
+        assert n_in > F // 2
+        # counters updated only on owned (valid) rows
+        assert int(res.mp_found.sum()) == n_in
+
+    def test_matches_single_device_step(self):
+        """Mesh result == single-device fused step (same semantics)."""
+        from orb_slam_fusion_tpu.parallel import (
+            distributed_frame_update, pad_map_for_mesh)
+        M, F = 256, 128
+        pts, desc, true_pose, kp_uv, kp_desc, kp_valid = self._frame(M, F)
+
+        single = fused_track_step(
+            pts, desc, jnp.ones(M, bool),
+            lie.se3_identity(), lie.se3_identity(),
+            kp_uv, kp_desc, kp_valid, jnp.zeros(F, jnp.int32),
+            jnp.ones(F), CAM)
+
+        mesh = make_slam_mesh(8)
+        mp = pad_map_for_mesh(mesh, pts, desc, jnp.ones(M, bool),
+                              jnp.zeros(M, jnp.int32), jnp.zeros(M, jnp.int32))
+        res = distributed_frame_update(
+            *mp, lie.se3_identity(), lie.se3_identity(),
+            kp_uv, kp_desc, kp_valid, jnp.ones(F), CAM, mesh)
+
+        rel = lie.se3_log(lie.se3_compose(res.pose,
+                                          lie.se3_inverse(single.pose)))
+        assert np.linalg.norm(np.asarray(rel)) < 1e-2, rel
