@@ -4,15 +4,18 @@ Reference semantics: per-cell cv::FAST with threshold 20 and fallback 7
 (src/cam/orb_feature/orb_extractor.cc:744-849). Instead of scanning cells,
 the TPU formulation evaluates the segment test for EVERY pixel at once:
 
-* the 16 Bresenham-circle neighbours are materialized as 16 rolled copies of
-  the image (cheap VPU shifts of a dense array);
-* "9 contiguous brighter/darker" is a bit-trick: build a 16-bit mask per
-  pixel, duplicate it to 32 bits, and AND together 9 consecutive shifts —
-  any surviving bit means a valid arc;
-* the corner score is the sum of absolute differences over the brighter
-  (resp. darker) ring pixels — the same quantity the reference's quad-tree
-  uses for ranking (via cv::FAST response);
-* non-max suppression is a 3x3 reduce_window max comparison.
+* the 16 Bresenham-circle neighbours are 16 rolled copies of the image
+  (cheap VPU shifts of a dense array, kept as separate 2-D values so XLA
+  fuses the whole detector into a few passes);
+* the corner score IS the arc test: OpenCV's cornerScore — the largest
+  threshold at which the pixel remains a corner, i.e. the max over the 16
+  contiguous 9-arcs of the arc's weakest exceedance, computed by a
+  doubling sliding-window minimum. score > t replaces any separate
+  "9 contiguous brighter/darker" check, and one map serves both of the
+  reference's thresholds;
+* non-max suppression is a 3x3 reduce_window max comparison (the same
+  ranking cv::FAST's NMS applies, so the surviving corner set matches
+  OpenCV's — golden-tested in tests/test_golden_opencv.py).
 
 Everything stays (H, W)-shaped; downstream selection handles sparsification.
 """
@@ -32,28 +35,43 @@ RING_OFFSETS = (
 ARC_LENGTH = 9  # FAST-9: at least 9 contiguous ring pixels
 
 
-def _ring_stack(img: jnp.ndarray) -> jnp.ndarray:
-    """(16, H, W) rolled copies; ring pixel (dy,dx) at each center."""
-    return jnp.stack(
-        [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for dy, dx in RING_OFFSETS])
+def corner_score(img: jnp.ndarray, border: int = 3) -> jnp.ndarray:
+    """FAST-9 corner score for every pixel (threshold-independent).
 
-
-def _has_arc(mask16: jnp.ndarray) -> jnp.ndarray:
-    """mask16: (16, H, W) bool -> (H, W) bool: any >=ARC_LENGTH circular run.
-
-    Bit-packed: the 16 comparisons collapse into one (H, W) uint32 word per
-    pixel, the word is duplicated into the upper half to emulate the
-    circular wrap, and ARC_LENGTH shifted copies are ANDed — all further
-    traffic is (H, W)-sized instead of (16, H, W)-sized.
+    OpenCV cornerScore semantics: the score is the LARGEST threshold at
+    which the pixel is still a FAST-9 corner — max over the 16 contiguous
+    9-arcs of the arc's weakest exceedance (cv::cornerScore<16> in
+    fast.cpp; the reference inherits it through cv::FAST). A pixel is a
+    corner at threshold t iff score > t, so the arc test needs no separate
+    pass and one score map serves every threshold.
     """
-    weights = (jnp.uint32(1) << jnp.arange(16, dtype=jnp.uint32))
-    bits = jnp.sum(mask16.astype(jnp.uint32)
-                   * weights[:, None, None], axis=0)          # (H, W)
-    m = bits | (bits << 16)
-    acc = m
-    for k in range(1, ARC_LENGTH):
-        acc = acc & (m >> k)
-    return (acc & jnp.uint32(0xFFFF)) != 0
+    h, w = img.shape
+    # Everything stays 2-D (H, W): stacked-axis rolls defeat XLA fusion,
+    # while a flat expression DAG of 2-D elementwise ops compiles to a
+    # handful of VPU passes. Circular sliding-window minimum over the 16
+    # ring offsets by doubling: min9 = min(min8, d[k+8]), min8 from two
+    # min4s, etc. — 4 min-levels instead of 8 sequential mins.
+    diff = [jnp.roll(img, (-dy, -dx), axis=(0, 1)) - img
+            for dy, dx in RING_OFFSETS]     # 16 x (H, W)
+
+    def arc_score(d):
+        m2 = [jnp.minimum(d[k], d[(k + 1) % 16]) for k in range(16)]
+        m4 = [jnp.minimum(m2[k], m2[(k + 2) % 16]) for k in range(16)]
+        m8 = [jnp.minimum(m4[k], m4[(k + 4) % 16]) for k in range(16)]
+        m9 = [jnp.minimum(m8[k], d[(k + 8) % 16]) for k in range(16)]
+        out = m9[0]
+        for k in range(1, 16):
+            out = jnp.maximum(out, m9[k])
+        return out
+
+    score = jnp.maximum(arc_score(diff), arc_score([-d for d in diff]))
+
+    # Zero the border (ring reads wrap around otherwise).
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inb = ((ys >= border) & (ys < h - border) &
+           (xs >= border) & (xs < w - border))
+    return jnp.where(inb, score, 0.0)
 
 
 def fast_score_map(img: jnp.ndarray, threshold: float,
@@ -61,32 +79,9 @@ def fast_score_map(img: jnp.ndarray, threshold: float,
     """FAST-9 corner response for every pixel; 0 where not a corner.
 
     img: (H, W) float32 grayscale (0..255 scale).
-    Returns (H, W) float32 score map (SAD over the qualifying ring arc side).
     """
-    h, w = img.shape
-    ring = _ring_stack(img)                 # (16,H,W)
-    diff = ring - img[None]                 # (16,H,W)
-    return _score_from_diff(diff, threshold, h, w, border)
-
-
-def _score_from_diff(diff: jnp.ndarray, threshold: float, h: int, w: int,
-                     border: int) -> jnp.ndarray:
-    brighter = diff > threshold
-    darker = diff < -threshold
-
-    is_corner = _has_arc(brighter) | _has_arc(darker)
-
-    # Score: max of summed positive/negative exceedances (OpenCV-like).
-    sc_b = jnp.sum(jnp.where(brighter, diff - threshold, 0.0), axis=0)
-    sc_d = jnp.sum(jnp.where(darker, -diff - threshold, 0.0), axis=0)
-    score = jnp.maximum(sc_b, sc_d)
-
-    # Zero the border (ring reads wrap around otherwise).
-    ys = jnp.arange(h)[:, None]
-    xs = jnp.arange(w)[None, :]
-    inb = ((ys >= border) & (ys < h - border) &
-           (xs >= border) & (xs < w - border))
-    return jnp.where(is_corner & inb, score, 0.0)
+    score = corner_score(img, border)
+    return jnp.where(score > threshold, score, 0.0)
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
@@ -101,18 +96,14 @@ def detect(img: jnp.ndarray, threshold_high: float = 20.0,
     """Two-threshold FAST with per-pixel fallback.
 
     The reference re-runs FAST at threshold 7 in cells where threshold 20
-    found nothing (orb_extractor.cc:789-797). The batched equivalent: compute
-    both maps; the selection stage prefers high-threshold corners by boosting
-    their score so low-threshold ones only fill otherwise-empty cells.
-    The ring stack and difference tensor are computed once and shared by
-    both thresholds (the dominant HBM traffic of the detector).
+    found nothing (orb_extractor.cc:789-797). The batched equivalent: the
+    corner score is threshold-independent (max threshold at which the pixel
+    stays a corner), so ONE score map serves both thresholds; the selection
+    stage prefers high-threshold corners by boosting their score so
+    low-threshold ones only fill otherwise-empty cells.
     """
-    h, w = img.shape
-    ring = _ring_stack(img)
-    diff = ring - img[None]
-    hi = _score_from_diff(diff, threshold_high, h, w, border)
-    lo = _score_from_diff(diff, threshold_low, h, w, border)
-    # High-threshold corners dominate ranking; low-threshold ones keep a
-    # small positive score so empty cells can still be filled.
-    combined = jnp.where(hi > 0.0, hi + 1e4, lo)
+    score = corner_score(img, border)
+    hi = score > threshold_high
+    lo = score > threshold_low
+    combined = jnp.where(hi, score + 1e4, jnp.where(lo, score, 0.0))
     return nms3x3(combined)
