@@ -320,3 +320,43 @@ def triangulate_midpoint(ray1: jnp.ndarray, ray2: jnp.ndarray,
     s = (b * e - c * d) / denom  # depth along ray1 (in cam2 frame)
     # point in cam1 frame = s * ray1
     return s[..., None] * ray1
+
+
+def radtan_distort_normalized(dist: jnp.ndarray, xy: jnp.ndarray
+                              ) -> jnp.ndarray:
+    """Apply radial-tangential (plumb-bob) distortion to normalized coords.
+
+    dist = (k1, k2, p1, p2); xy (..., 2) at z=1.
+    """
+    k1, k2, p1, p2 = dist[0], dist[1], dist[2], dist[3]
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    rad = 1.0 + r2 * (k1 + k2 * r2)
+    xd = x * rad + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * rad + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([xd, yd], axis=-1)
+
+
+def undistort_points(params: jnp.ndarray, dist: jnp.ndarray,
+                     uv: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+    """Undistort pixel keypoints under the radial-tangential model.
+
+    TPU-native equivalent of Frame::UndistortKeyPoints (reference:
+    src/map/frame.cc, which calls cv::undistortPoints with P=K): normalize
+    by K, invert the distortion by fixed-point iteration (the same scheme
+    cv::undistortPoints uses), re-apply K. Batched over all keypoints; a
+    fixed iteration count keeps the shape static under jit.
+    """
+    fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+    xd = (uv[..., 0] - cx) / fx
+    yd = (uv[..., 1] - cy) / fy
+    k1, k2, p1, p2 = dist[0], dist[1], dist[2], dist[3]
+    x, y = xd, yd
+    for _ in range(iters):
+        r2 = x * x + y * y
+        rad = 1.0 + r2 * (k1 + k2 * r2)
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (xd - dx) / rad
+        y = (yd - dy) / rad
+    return jnp.stack([x * fx + cx, y * fy + cy], axis=-1)

@@ -50,6 +50,10 @@ class Settings:
     distortion: Tuple[float, ...]      # (k1,k2,p1,p2) radial-tangential
     load_atlas: Optional[str]
     save_atlas: Optional[str]
+    # (mapL, mapR) per-pixel raw-image sampling coords for unrectified
+    # pinhole stereo rigs (reference Settings::precomputeRectificationMaps,
+    # settings.cc:521); None when input is already rectified
+    rect_maps: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
 
 def _req(d, key):
@@ -97,15 +101,49 @@ def load_settings(path: str, sensor: str = "mono") -> Settings:
 
     baseline = 0.0
     th_depth = float(d.get("Stereo.ThDepth", 60.0))
+    rect_maps = None
+    rect_R1 = None
     if "stereo" in sensor:
         T12 = np.asarray(_req(d, "Stereo.T_c1_c2"))
         baseline = float(np.linalg.norm(T12[:3, 3]))
+        if cam_type == "PinHole" and "Camera2.fx" in d:
+            # unrectified pinhole rig -> precompute rectification and
+            # replace the calibration with the ideal rectified one
+            # (reference Settings::precomputeRectificationMaps,
+            # settings.cc:521-563; per-frame remap happens in System)
+            from ..frontend.rectify import rectify_map, stereo_rectify
+            K1 = np.array([[cam_params[0], 0, cam_params[2]],
+                           [0, cam_params[1], cam_params[3]],
+                           [0, 0, 1.0]])
+            D1 = np.asarray(distortion, np.float64)
+            cam2 = tuple(float(_req(d, f"Camera2.{k}"))
+                         for k in ("fx", "fy", "cx", "cy"))
+            K2 = np.array([[cam2[0], 0, cam2[2]],
+                           [0, cam2[1], cam2[3]],
+                           [0, 0, 1.0]])
+            D2 = np.array([float(d.get(f"Camera2.{k}", 0.0))
+                           for k in ("k1", "k2", "p1", "p2")])
+            T21 = np.linalg.inv(T12)
+            size = (width, height)
+            R1, R2, P1, P2 = stereo_rectify(K1, D1, K2, D2,
+                                            T21[:3, :3], T21[:3, 3], size)
+            rect_maps = (rectify_map(K1, D1, R1, P1[:3, :3], size),
+                         rectify_map(K2, D2, R2, P2[:3, :3], size))
+            cam_params = (float(P1[0, 0]), float(P1[1, 1]),
+                          float(P1[0, 2]), float(P1[1, 2]))
+            distortion = (0.0, 0.0, 0.0, 0.0)
+            rect_R1 = R1
 
     calib = None
     if "imu" in sensor:
         Tbc = np.asarray(_req(d, "IMU.T_b_c1"))
+        Rbc = Tbc[:3, :3]
+        if rect_R1 is not None:
+            # camera 1 was rotated by R1: Tbc <- Tbc * (R1, 0)^-1
+            # (reference settings.cc:558-563)
+            Rbc = Rbc @ rect_R1.T
         calib = make_calib(
-            Tbc_R=Tbc[:3, :3].astype(np.float32),
+            Tbc_R=Rbc.astype(np.float32),
             Tbc_t=Tbc[:3, 3].astype(np.float32),
             noise_gyro=float(_req(d, "IMU.NoiseGyro")),
             noise_acc=float(_req(d, "IMU.NoiseAcc")),
@@ -122,9 +160,15 @@ def load_settings(path: str, sensor: str = "mono") -> Settings:
         fast_threshold_low=float(d.get("ORBextractor.minThFAST", 7)),
     )
 
+    # rectified stereo consumes rectified pixels -> no undistortion in the
+    # tracker (the reference rectifies in System::TrackStereo); mono/RGB-D
+    # undistort keypoints per frame (Frame::UndistortKeyPoints)
+    slam_distortion = () if ("stereo" in sensor or not any(distortion)) \
+        else distortion
     slam = SlamConfig(
         cam_model=cam_model,
         cam_params=cam_params,
+        distortion=slam_distortion,
         image_size=(height, width),
         fps=fps,
         orb=orb,
@@ -138,4 +182,5 @@ def load_settings(path: str, sensor: str = "mono") -> Settings:
         distortion=distortion,
         load_atlas=d.get("System.LoadAtlasFromFile"),
         save_atlas=d.get("System.SaveAtlasToFile"),
+        rect_maps=rect_maps,
     )

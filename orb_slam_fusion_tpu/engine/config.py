@@ -17,6 +17,9 @@ class SlamConfig(NamedTuple):
     # camera
     cam_model: str = cameras.PINHOLE
     cam_params: Tuple[float, ...] = (458.654, 457.296, 367.215, 248.375)
+    # radial-tangential (k1,k2,p1,p2) for unrectified pinhole inputs; empty
+    # or all-zero -> no undistortion (KB8 models distortion in cam_params)
+    distortion: Tuple[float, ...] = ()
     image_size: Tuple[int, int] = (480, 752)      # (H, W)
     fps: float = 20.0
 

@@ -192,4 +192,7 @@ class RgbdTracker(StereoTracker):
         xi = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0, w - 1)
         yi = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0, h - 1)
         depth = depth_img[yi, xi]
-        return self.process_rgbd_features(feats, depth, timestamp)
+        # depth is sampled at raw pixel positions; geometry then uses
+        # undistorted coordinates (reference Frame RGB-D ctor ordering)
+        return self.process_rgbd_features(self._undistort(feats), depth,
+                                          timestamp)

@@ -143,7 +143,22 @@ class MonoTracker:
     def process_image(self, img: jnp.ndarray, timestamp: float) -> FrameRecord:
         with stage("orb_extract"):
             feats = extractor.extract_features(img, self.cfg.orb)
-        return self.process_features(feats, timestamp)
+        return self.process_features(self._undistort(feats), timestamp)
+
+    def _undistort(self, feats: extractor.Features) -> extractor.Features:
+        """Undistort keypoint coordinates for unrectified pinhole inputs
+        (reference: Frame::UndistortKeyPoints, src/map/frame.cc).
+
+        Extraction runs on the raw image (as in the reference); only the
+        coordinates used for geometry are remapped. No-op when the config
+        carries no distortion (rectified stereo, KB8 fisheye)."""
+        dist = self.cfg.distortion
+        if not dist or not any(dist):
+            return feats
+        uv = cameras.undistort_points(
+            jnp.asarray(self.cfg.cam_params[:4], jnp.float32),
+            jnp.asarray(dist, jnp.float32), feats.uv)
+        return feats._replace(uv=uv)
 
     def process_features(self, feats: extractor.Features,
                          timestamp: float) -> FrameRecord:

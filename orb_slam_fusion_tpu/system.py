@@ -77,6 +77,7 @@ class System:
         else:
             raise ValueError(f"unknown sensor {sensor}")
         self._localization_only = False
+        self._rect_maps_dev = None
         Verbose.log(f"System ready: sensor={sensor.value}", Verbose.NORMAL)
 
     # -- per-frame entries (reference system.cc:259/374/459) ---------------
@@ -92,8 +93,32 @@ class System:
         return self.tracker.process_frame_imu(feats, timestamp, acc, gyro, t)
 
     def track_stereo(self, imgL, imgR, timestamp: float) -> FrameRecord:
-        return self.tracker.process_stereo_images(
-            jnp.asarray(imgL), jnp.asarray(imgR), timestamp)
+        imgL, imgR = self._rectify(jnp.asarray(imgL), jnp.asarray(imgR))
+        return self.tracker.process_stereo_images(imgL, imgR, timestamp)
+
+    def track_stereo_imu(self, imgL, imgR, timestamp: float,
+                         acc, gyro, t) -> FrameRecord:
+        """Stereo pair + IMU measurement batch (reference System::TrackStereo
+        with vImuMeas, system.cc:259-326): rectify, extract both images,
+        feed the inertial tracker."""
+        from .frontend import extractor
+        imgL, imgR = self._rectify(jnp.asarray(imgL), jnp.asarray(imgR))
+        fL = extractor.extract_features(imgL, self.tracker.cfg.orb)
+        fR = extractor.extract_features(imgR, self.tracker.cfg.orb)
+        return self.tracker.process_stereo_imu(fL, fR, timestamp,
+                                               acc, gyro, t)
+
+    def _rectify(self, imgL, imgR):
+        """Per-frame stereo rectification for unrectified pinhole rigs
+        (reference System::TrackStereo cv::remap, system.cc:271-281) —
+        one fused device dispatch for both images."""
+        if self.settings is None or self.settings.rect_maps is None:
+            return imgL, imgR
+        if self._rect_maps_dev is None:
+            mL, mR = self.settings.rect_maps
+            self._rect_maps_dev = (jnp.asarray(mL), jnp.asarray(mR))
+        from .frontend.rectify import remap_stereo_pair
+        return remap_stereo_pair(imgL, imgR, *self._rect_maps_dev)
 
     def track_rgbd(self, img, depth, timestamp: float) -> FrameRecord:
         return self.tracker.process_rgbd_images(

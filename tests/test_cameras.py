@@ -87,3 +87,43 @@ class TestTriangulation:
         pts, ray1, ray2, T21 = self._setup(jax.random.PRNGKey(6))
         X = cameras.triangulate(ray1, ray2, T21.R, T21.t)
         np.testing.assert_allclose(np.asarray(X), np.asarray(pts), atol=2e-3)
+
+
+class TestRadTanUndistort:
+    """Radial-tangential undistortion (reference Frame::UndistortKeyPoints)."""
+
+    DIST = jnp.array([-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05])
+    # EuRoC cam0 plumb-bob coefficients
+
+    def _distorted_pixels(self, key, n=200):
+        # normalized points well inside the FOV, distort, map through K
+        xy = jax.random.uniform(key, (n, 2), minval=-0.55, maxval=0.55)
+        xyd = cameras.radtan_distort_normalized(self.DIST, xy)
+        fx, fy, cx, cy = [float(v) for v in PINHOLE_PARAMS]
+        uv_d = jnp.stack([xyd[:, 0] * fx + cx, xyd[:, 1] * fy + cy], axis=-1)
+        uv_true = jnp.stack([xy[:, 0] * fx + cx, xy[:, 1] * fy + cy], axis=-1)
+        return uv_d, uv_true
+
+    def test_round_trip(self):
+        uv_d, uv_true = self._distorted_pixels(jax.random.PRNGKey(7))
+        uv = cameras.undistort_points(PINHOLE_PARAMS, self.DIST, uv_d)
+        np.testing.assert_allclose(np.asarray(uv), np.asarray(uv_true),
+                                   atol=5e-2)  # pixels
+
+    def test_matches_opencv(self):
+        import cv2
+
+        uv_d, _ = self._distorted_pixels(jax.random.PRNGKey(8))
+        uv = np.asarray(cameras.undistort_points(
+            PINHOLE_PARAMS, self.DIST, uv_d))
+        fx, fy, cx, cy = [float(v) for v in PINHOLE_PARAMS]
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+        ref = cv2.undistortPoints(
+            np.asarray(uv_d, np.float64).reshape(-1, 1, 2),
+            K, np.asarray(self.DIST, np.float64), P=K).reshape(-1, 2)
+        np.testing.assert_allclose(uv, ref, atol=5e-2)
+
+    def test_zero_distortion_is_identity(self):
+        uv = jnp.array([[10.0, 20.0], [300.0, 400.0]])
+        out = cameras.undistort_points(PINHOLE_PARAMS, jnp.zeros(4), uv)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(uv), atol=1e-5)

@@ -113,3 +113,30 @@ def test_crash_handler(tmp_path):
         assert "boom" in text and "frame=7" in text
     finally:
         crash.uninstall_crash_handler()
+
+
+def test_stereo_system_rectifies_input(tmp_path):
+    """An unrectified pinhole stereo config makes the System remap raw
+    frames before tracking (reference System::TrackStereo cv::remap,
+    system.cc:271-281)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tests.test_settings import CAMERA2_BLOCK, EUROC_YAML
+    from orb_slam_fusion_tpu.config import load_settings
+    from orb_slam_fusion_tpu.frontend.rectify import remap_bilinear
+    from orb_slam_fusion_tpu.system import Sensor, System
+
+    p = tmp_path / "euroc2.yaml"
+    p.write_text(EUROC_YAML + CAMERA2_BLOCK)
+    s = load_settings(str(p), "stereo")
+    sys_ = System(settings=s, sensor=Sensor.STEREO)
+
+    rng = np.random.RandomState(0)
+    imgL = jnp.asarray(rng.rand(480, 752).astype(np.float32) * 255)
+    imgR = jnp.asarray(rng.rand(480, 752).astype(np.float32) * 255)
+    rL, rR = sys_._rectify(imgL, imgR)
+    expL = remap_bilinear(imgL, jnp.asarray(s.rect_maps[0]))
+    np.testing.assert_allclose(np.asarray(rL), np.asarray(expL), atol=1e-5)
+    assert rL.shape == imgL.shape and rR.shape == imgR.shape
+    # and the tracker was configured with the rectified intrinsics
+    assert sys_.tracker.cfg.cam_params == s.slam.cam_params
