@@ -54,6 +54,12 @@ class Settings:
     # pinhole stereo rigs (reference Settings::precomputeRectificationMaps,
     # settings.cc:521); None when input is already rectified
     rect_maps: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    rgb: bool = True                   # color order for 3-channel input
+    # (H, W) to resize raw frames to before tracking (Camera.newWidth/
+    # newHeight, settings.cc:375-436); None = feed as-is. Rectifying
+    # configs resize through the maps instead.
+    resize_to: Optional[Tuple[int, int]] = None
+    th_far_points: float = 0.0         # System.thFarPoints (0 = unlimited)
 
 
 def _req(d, key):
@@ -98,6 +104,24 @@ def load_settings(path: str, sensor: str = "mono") -> Settings:
     width = int(_req(d, "Camera.width"))
     height = int(_req(d, "Camera.height"))
     fps = float(d.get("Camera.fps", 30.0))
+    rgb = bool(int(d.get("Camera.RGB", 1)))
+
+    # optional resize (reference settings.cc:375-436)
+    new_w = int(d.get("Camera.newWidth", width))
+    new_h = int(d.get("Camera.newHeight", height))
+    need_resize = (new_w, new_h) != (width, height)
+    will_rectify = (cam_type == "PinHole" and "stereo" in sensor
+                    and "Camera2.fx" in d)
+    if need_resize and not will_rectify:
+        # no rectification: scale the intrinsics, System resizes frames
+        # (radtan / KB8 distortion acts on normalized coords — unaffected)
+        sx, sy = new_w / width, new_h / height
+        fx, fy, cx, cy = cam_params[:4]
+        cam_params = (fx * sx, fy * sy, cx * sx, cy * sy) + cam_params[4:]
+    # when rectifying, the maps below are built at the new size from the
+    # ORIGINAL intrinsics and sample the raw full-size image directly
+    # (the reference remaps without resizing, system.cc:271-285)
+    width, height = new_w, new_h
 
     baseline = 0.0
     th_depth = float(d.get("Stereo.ThDepth", 60.0))
@@ -172,6 +196,7 @@ def load_settings(path: str, sensor: str = "mono") -> Settings:
         image_size=(height, width),
         fps=fps,
         orb=orb,
+        th_far_points=float(d.get("System.thFarPoints", 0.0)),
     )
     return Settings(
         slam=slam,
@@ -183,4 +208,8 @@ def load_settings(path: str, sensor: str = "mono") -> Settings:
         load_atlas=d.get("System.LoadAtlasFromFile"),
         save_atlas=d.get("System.SaveAtlasToFile"),
         rect_maps=rect_maps,
+        rgb=rgb,
+        resize_to=((height, width)
+                   if need_resize and rect_maps is None else None),
+        th_far_points=float(d.get("System.thFarPoints", 0.0)),
     )

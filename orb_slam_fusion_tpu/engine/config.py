@@ -39,6 +39,11 @@ class SlamConfig(NamedTuple):
     kf_max_interval: int = 10           # frames between keyframes (upper)
     kf_min_interval: int = 1
 
+    # far-point threshold in metres; 0 = unlimited (reference
+    # System.thFarPoints, system.cc:217: discard points further than this
+    # in projection search and triangulation)
+    th_far_points: float = 0.0
+
     # mapping policy
     ba_window: int = 8                  # local BA keyframe window (optimized)
     ba_fixed_ring: int = 4              # additional older KFs included as

@@ -24,7 +24,8 @@ from ..map import map_state as ms
 
 
 def _triangulate_pair(pose_a: lie.SE3, pose_b: lie.SE3, rays_a, rays_b,
-                      pair_valid, min_parallax_cos: float = 0.9998):
+                      pair_valid, min_parallax_cos: float = 0.9998,
+                      far_threshold: float = 0.0):
     """Two-view mid-point triangulation + acceptance checks (world coords).
 
     Reference: LocalMapping::CreateNewMapPoints's parallax / positive-depth
@@ -48,6 +49,10 @@ def _triangulate_pair(pose_a: lie.SE3, pose_b: lie.SE3, rays_a, rays_b,
     th = (2.0 / 460.0) ** 2
     good = (pair_valid & (z_a > 0.05) & (z_b > 0.05)
             & (cosp < min_parallax_cos) & (e_a < th) & (e_b < th))
+    if far_threshold > 0:
+        # System.thFarPoints: discard far triangulations (reference
+        # localmapping.cc:587)
+        good = good & (z_a < far_threshold) & (z_b < far_threshold)
     X_w = lie.se3_apply(lie.se3_inverse(pose_a), X_a)
     return X_w, good
 
@@ -62,7 +67,7 @@ class MappingResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cam_model", "img_h", "img_w", "n_prev",
-                     "culling_found_ratio"),
+                     "culling_found_ratio", "far_threshold"),
 )
 def mapping_step(
     m: ms.MapState,
@@ -80,6 +85,7 @@ def mapping_step(
     img_w: int = 752,
     n_prev: int = 3,
     culling_found_ratio: float = 0.25,
+    far_threshold: float = 0.0,
 ) -> MappingResult:
     """Insert a keyframe and do all per-keyframe mapping work on device."""
     F = kp_uv.shape[0]
@@ -115,7 +121,8 @@ def mapping_step(
         rays_prev = cameras.unproject(cam_model, cam_params, prev_uv)
         prev_pose = lie.SE3(m.kf_pose.R[prev_c], m.kf_pose.t[prev_c])
         X_w, good = _triangulate_pair(
-            prev_pose, pose, rays_prev, rays_cur[pidx_c], pok)
+            prev_pose, pose, rays_prev, rays_cur[pidx_c], pok,
+            far_threshold=far_threshold)
         good = good & prev_ok
 
         normals = X_w - cam_center

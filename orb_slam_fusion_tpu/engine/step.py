@@ -35,7 +35,7 @@ class TrackStepResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam_model", "img_h", "img_w"),
+    static_argnames=("cam_model", "img_h", "img_w", "far_threshold"),
 )
 def fused_track_step(
     mp_pos: jnp.ndarray,       # (M, 3)
@@ -54,6 +54,7 @@ def fused_track_step(
     img_w: int = 752,
     radius_coarse: float = 15.0,
     radius_fine: float = 9.0,
+    far_threshold: float = 0.0,
 ) -> TrackStepResult:
     zeros_oct = jnp.zeros(mp_pos.shape[0], jnp.int32)
 
@@ -63,6 +64,10 @@ def fused_track_step(
         vis = (mp_valid & (pc[..., 2] > 0.05)
                & (uv[..., 0] >= 0) & (uv[..., 0] < img_w)
                & (uv[..., 1] >= 0) & (uv[..., 1] < img_h))
+        if far_threshold > 0:
+            # System.thFarPoints: skip far map points in projection search
+            # (reference orb_matcher.cc:54, system.cc:217)
+            vis = vis & (pc[..., 2] < far_threshold)
         return uv, vis
 
     # stage 1: coarse
@@ -109,7 +114,7 @@ class FrameUpdate(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cam_model", "img_h", "img_w", "min_matches",
-                     "use_pallas"),
+                     "use_pallas", "far_threshold"),
     donate_argnames=("mp_visible", "mp_found"),
 )
 def fused_frame_update(
@@ -133,6 +138,7 @@ def fused_frame_update(
     radius_fine: float = 9.0,
     min_matches: int = 20,
     use_pallas: bool = False,
+    far_threshold: float = 0.0,
 ) -> FrameUpdate:
     """One tracked frame as ONE device program (zero host round-trips).
 
@@ -157,6 +163,10 @@ def fused_frame_update(
         vis = (mp_valid & (pc[..., 2] > 0.05)
                & (uv[..., 0] >= 0) & (uv[..., 0] < img_w)
                & (uv[..., 1] >= 0) & (uv[..., 1] < img_h))
+        if far_threshold > 0:
+            # System.thFarPoints: skip far map points in projection search
+            # (reference orb_matcher.cc:54, system.cc:217)
+            vis = vis & (pc[..., 2] < far_threshold)
         return uv, vis
 
     def match_at(uv_pred, vis, radius):

@@ -299,7 +299,8 @@ class MonoTracker:
             radius_coarse=cfg.match_radius_coarse,
             radius_fine=cfg.match_radius_fine,
             min_matches=cfg.min_track_matches,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas,
+            far_threshold=cfg.th_far_points)
         # the ONLY device->host sync of the frame
         n_matches, n_inliers = (int(x) for x in np.asarray(upd.counts))
         self.map = self.map._replace(
@@ -398,7 +399,8 @@ class MonoTracker:
             self.map, self.cur_pose, timestamp, feats.uv, feats.desc,
             feats.octave, feats.valid, obs, jnp.asarray(prev),
             self.cam_params, cam_model=cfg.cam_model, img_h=h, img_w=w,
-            culling_found_ratio=cfg.culling_found_ratio)
+            culling_found_ratio=cfg.culling_found_ratio,
+            far_threshold=cfg.th_far_points)
         self.map = res.map
         kf_id, n_tracked = (int(x) for x in np.asarray(res.stats))
         if kf_id < 0:

@@ -12,6 +12,7 @@ from __future__ import annotations
 import enum
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,12 +79,35 @@ class System:
             raise ValueError(f"unknown sensor {sensor}")
         self._localization_only = False
         self._rect_maps_dev = None
+        # auto-restore a previous session (reference system.cc:141-190:
+        # LoadAtlasFromFile; missing file -> message + fresh atlas)
+        if settings is not None and settings.load_atlas:
+            import os
+            if os.path.exists(settings.load_atlas):
+                self.load_atlas(settings.load_atlas)
+            else:
+                Verbose.log(f"atlas file {settings.load_atlas!r} not found — "
+                            "starting a new session", Verbose.NORMAL)
         Verbose.log(f"System ready: sensor={sensor.value}", Verbose.NORMAL)
 
     # -- per-frame entries (reference system.cc:259/374/459) ---------------
 
     def track_monocular(self, img, timestamp: float) -> FrameRecord:
-        return self.tracker.process_image(jnp.asarray(img), timestamp)
+        return self.tracker.process_image(
+            self._preprocess(jnp.asarray(img)), timestamp)
+
+    def _preprocess(self, img):
+        """Color->gray conversion + optional resize (reference
+        System::Track* preprocessing: cvtColor in Tracking::GrabImage*,
+        cv::resize in system.cc:279-285)."""
+        if img.ndim == 3 and img.shape[-1] == 3:
+            w = jnp.array([0.299, 0.587, 0.114], img.dtype)
+            if self.settings is not None and not self.settings.rgb:
+                w = w[::-1]  # BGR input
+            img = img @ w
+        if self.settings is not None and self.settings.resize_to is not None:
+            img = jax.image.resize(img, self.settings.resize_to, "linear")
+        return img
 
     def track_monocular_features(self, feats, timestamp: float) -> FrameRecord:
         return self.tracker.process_features(feats, timestamp)
@@ -93,7 +117,8 @@ class System:
         return self.tracker.process_frame_imu(feats, timestamp, acc, gyro, t)
 
     def track_stereo(self, imgL, imgR, timestamp: float) -> FrameRecord:
-        imgL, imgR = self._rectify(jnp.asarray(imgL), jnp.asarray(imgR))
+        imgL, imgR = self._rectify(self._preprocess(jnp.asarray(imgL)),
+                                   self._preprocess(jnp.asarray(imgR)))
         return self.tracker.process_stereo_images(imgL, imgR, timestamp)
 
     def track_stereo_imu(self, imgL, imgR, timestamp: float,
@@ -102,7 +127,8 @@ class System:
         with vImuMeas, system.cc:259-326): rectify, extract both images,
         feed the inertial tracker."""
         from .frontend import extractor
-        imgL, imgR = self._rectify(jnp.asarray(imgL), jnp.asarray(imgR))
+        imgL, imgR = self._rectify(self._preprocess(jnp.asarray(imgL)),
+                                   self._preprocess(jnp.asarray(imgR)))
         fL = extractor.extract_features(imgL, self.tracker.cfg.orb)
         fR = extractor.extract_features(imgR, self.tracker.cfg.orb)
         return self.tracker.process_stereo_imu(fL, fR, timestamp,
@@ -122,7 +148,8 @@ class System:
 
     def track_rgbd(self, img, depth, timestamp: float) -> FrameRecord:
         return self.tracker.process_rgbd_images(
-            jnp.asarray(img), jnp.asarray(depth), timestamp)
+            self._preprocess(jnp.asarray(img)), jnp.asarray(depth),
+            timestamp)
 
     # -- modes (reference ActivateLocalizationMode, system.cc:287) ---------
 
@@ -215,6 +242,8 @@ class System:
                 f"mp={int(t.map.n_mp)}")
 
     def shutdown(self) -> None:
-        """Reference System::Shutdown — nothing to join here (no threads),
-        kept for API parity."""
+        """Reference System::Shutdown — no threads to join here; saves the
+        session when the config asks for it (system.cc:543-550)."""
+        if self.settings is not None and self.settings.save_atlas:
+            self.save_atlas(self.settings.save_atlas)
         Verbose.log("shutdown", Verbose.NORMAL)

@@ -133,3 +133,97 @@ def test_rectified_stereo_has_no_maps(yaml_path):
     # no Camera2 block -> input treated as already rectified
     s = load_settings(yaml_path, "stereo")
     assert s.rect_maps is None
+
+
+def test_resize_scales_intrinsics(tmp_path):
+    p = tmp_path / "resized.yaml"
+    p.write_text(EUROC_YAML + "Camera.newWidth: 376\nCamera.newHeight: 240\n"
+                 "System.thFarPoints: 20.0\n")
+    s = load_settings(str(p), "mono")
+    fx, fy, cx, cy = s.slam.cam_params
+    assert abs(fx - 458.654 * 0.5) < 1e-6
+    assert abs(cy - 248.375 * 0.5) < 1e-6
+    assert s.resize_to == (240, 376)
+    assert s.slam.image_size == (240, 376)
+    assert s.slam.th_far_points == 20.0
+
+
+def test_resize_with_rectification_keeps_map_route(tmp_path):
+    # rectifying rigs resize THROUGH the maps (reference system.cc:271-285:
+    # remap only, no separate cv::resize)
+    p = tmp_path / "rect_resized.yaml"
+    p.write_text(EUROC_YAML + CAMERA2_BLOCK
+                 + "Camera.newWidth: 376\nCamera.newHeight: 240\n")
+    s = load_settings(str(p), "stereo")
+    assert s.resize_to is None
+    assert s.rect_maps[0].shape == (240, 376, 2)
+    assert s.slam.image_size == (240, 376)
+    # maps are finite and address raw-image coordinates (the reference
+    # passes newImSize as BOTH imageSize and newImageSize to
+    # cv::stereoRectify — settings.cc:538-544 — which this reproduces)
+    m = s.rect_maps[0]
+    assert np.isfinite(m).all()
+    assert m[..., 0].min() > -200 and m[..., 0].max() < 900
+    assert m[..., 1].min() > -200 and m[..., 1].max() < 700
+
+
+def test_preprocess_color_and_resize(tmp_path):
+    import jax.numpy as jnp
+    from orb_slam_fusion_tpu.system import Sensor, System
+
+    p = tmp_path / "resized.yaml"
+    p.write_text(EUROC_YAML + "Camera.newWidth: 376\nCamera.newHeight: 240\n")
+    s = load_settings(str(p), "mono")
+    sys_ = System(settings=s, sensor=Sensor.MONOCULAR)
+    rgb = jnp.ones((480, 752, 3), jnp.float32) * jnp.array([100., 50., 10.])
+    out = sys_._preprocess(rgb)
+    assert out.shape == (240, 376)
+    # Camera.RGB: 1 -> luma weights applied in RGB order
+    expected = 0.299 * 100 + 0.587 * 50 + 0.114 * 10
+    np.testing.assert_allclose(float(out[50, 50]), expected, rtol=1e-5)
+
+
+def test_triangulation_far_gate():
+    import jax.numpy as jnp
+    from orb_slam_fusion_tpu import lie
+    from orb_slam_fusion_tpu.engine.mapping import _triangulate_pair
+
+    # two cameras 0.2 m apart, one near point (z=5) one far (z=60)
+    pose_a = lie.se3_identity()
+    pose_b = lie.SE3(jnp.eye(3), jnp.array([-0.2, 0.0, 0.0]))
+    pts = jnp.array([[0.1, 0.05, 5.0], [0.3, -0.2, 60.0]])
+    rays_a = pts / pts[:, 2:3]
+    pb = pts + jnp.array([-0.2, 0.0, 0.0])
+    rays_b = pb / pb[:, 2:3]
+    valid = jnp.ones(2, bool)
+    _, good_all = _triangulate_pair(pose_a, pose_b, rays_a, rays_b, valid,
+                                    min_parallax_cos=1.0)
+    _, good_far = _triangulate_pair(pose_a, pose_b, rays_a, rays_b, valid,
+                                    min_parallax_cos=1.0, far_threshold=20.0)
+    assert bool(good_all[0]) and bool(good_all[1])
+    assert bool(good_far[0]) and not bool(good_far[1])
+
+
+def test_atlas_autosave_autoload(tmp_path):
+    """System.SaveAtlasToFile / LoadAtlasFromFile round trip through the
+    System lifecycle (reference system.cc:141-190, 543-550)."""
+    from orb_slam_fusion_tpu.system import Sensor, System
+
+    atlas = str(tmp_path / "session.npz")
+    p = tmp_path / "cfg.yaml"
+    p.write_text(EUROC_YAML + f'System.SaveAtlasToFile: "{atlas}"\n')
+    s = load_settings(str(p), "mono")
+    sys_ = System(settings=s, sensor=Sensor.MONOCULAR)
+    sys_.shutdown()
+    import os
+    assert os.path.exists(atlas)
+
+    p2 = tmp_path / "cfg2.yaml"
+    p2.write_text(EUROC_YAML + f'System.LoadAtlasFromFile: "{atlas}"\n')
+    s2 = load_settings(str(p2), "mono")
+    sys2 = System(settings=s2, sensor=Sensor.MONOCULAR)  # must not raise
+    assert sys2.tracker is not None
+    # missing file -> fresh session, no crash
+    p3 = tmp_path / "cfg3.yaml"
+    p3.write_text(EUROC_YAML + 'System.LoadAtlasFromFile: "/nope/missing"\n')
+    System(settings=load_settings(str(p3), "mono"), sensor=Sensor.MONOCULAR)
