@@ -112,14 +112,17 @@ def kb8_project_jac(params: jnp.ndarray, xyz: jnp.ndarray) -> jnp.ndarray:
     th2 = theta * theta
     d = theta * (1.0 + th2 * (k1 + th2 * (k2 + th2 * (k3 + th2 * k4))))
     dd_dth = 1.0 + th2 * (3 * k1 + th2 * (5 * k2 + th2 * (7 * k3 + th2 * 9 * k4)))
-    norm2 = r2 + z * z
+    # clamped r in every division so the Jacobian stays FINITE at the
+    # degenerate point pc=(0,0,0) (padded table slots project there; masked
+    # rows must never produce NaN — 0 * NaN poisons weighted reductions)
+    norm2 = r * r + z * z
     dth_dr = z / norm2
     dth_dz = -r / norm2
 
     # u = fx * d(theta(x,y,z)) * x / r(x,y)
     dr_dx = x / r
     dr_dy = y / r
-    dscale_dr = (dd_dth * dth_dr * r - d) / r2
+    dscale_dr = (dd_dth * dth_dr * r - d) / (r * r)
     dscale_dz = dd_dth * dth_dz / r
     scale = d / r
 

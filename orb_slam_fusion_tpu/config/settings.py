@@ -55,6 +55,12 @@ class Settings:
     # settings.cc:521); None when input is already rectified
     rect_maps: Optional[Tuple[np.ndarray, np.ndarray]] = None
     rgb: bool = True                   # color order for 3-channel input
+    # KB8 stereo rig (TUM-VI style, no rectification): right-camera
+    # intrinsics, full extrinsic matrix, and per-camera stereo-overlap
+    # ("lapping") column ranges (reference settings.cc:276-348)
+    cam2_params: Optional[Tuple[float, ...]] = None
+    T_c1_c2: Optional[np.ndarray] = None
+    lapping: Optional[Tuple[Tuple[float, float], Tuple[float, float]]] = None
     # (H, W) to resize raw frames to before tracking (Camera.newWidth/
     # newHeight, settings.cc:375-436); None = feed as-is. Rectifying
     # configs resize through the maps instead.
@@ -127,9 +133,27 @@ def load_settings(path: str, sensor: str = "mono") -> Settings:
     th_depth = float(d.get("Stereo.ThDepth", 60.0))
     rect_maps = None
     rect_R1 = None
+    cam2_params = None
+    T_c1_c2 = None
+    lapping = None
     if "stereo" in sensor:
         T12 = np.asarray(_req(d, "Stereo.T_c1_c2"))
         baseline = float(np.linalg.norm(T12[:3, 3]))
+        if cam_type == "KannalaBrandt8" and "Camera2.fx" in d:
+            # TUM-VI style fisheye rig: no rectification — descriptor
+            # matching in the lapping areas + ray triangulation
+            # (reference settings.cc:276-348, frame.cc:1134+)
+            cam2_params = tuple(
+                float(_req(d, f"Camera2.{k}"))
+                for k in ("fx", "fy", "cx", "cy", "k1", "k2", "k3", "k4"))
+            T_c1_c2 = T12
+            sx = width / int(_req(d, "Camera.width")) if need_resize else 1.0
+            lapping = (
+                (sx * float(d.get("Camera1.overlappingBegin", 0)),
+                 sx * float(d.get("Camera1.overlappingEnd", width))),
+                (sx * float(d.get("Camera2.overlappingBegin", 0)),
+                 sx * float(d.get("Camera2.overlappingEnd", width))),
+            )
         if cam_type == "PinHole" and "Camera2.fx" in d:
             # unrectified pinhole rig -> precompute rectification and
             # replace the calibration with the ideal rectified one
@@ -212,4 +236,7 @@ def load_settings(path: str, sensor: str = "mono") -> Settings:
         resize_to=((height, width)
                    if need_resize and rect_maps is None else None),
         th_far_points=float(d.get("System.thFarPoints", 0.0)),
+        cam2_params=cam2_params,
+        T_c1_c2=T_c1_c2,
+        lapping=lapping,
     )

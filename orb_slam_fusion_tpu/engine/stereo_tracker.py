@@ -18,7 +18,8 @@ import numpy as np
 
 from .. import cameras, lie
 from ..frontend import extractor, matcher
-from ..frontend.stereo import depth_from_disparity, stereo_match
+from ..frontend.stereo import (depth_from_disparity, fisheye_stereo_match,
+                               stereo_match)
 from ..map import map_state as ms
 from ..utils import masked_set
 from .config import SlamConfig
@@ -196,3 +197,43 @@ class RgbdTracker(StereoTracker):
         # undistorted coordinates (reference Frame RGB-D ctor ordering)
         return self.process_rgbd_features(self._undistort(feats), depth,
                                           timestamp)
+
+
+class FisheyeStereoTracker(RgbdTracker):
+    """Stereo-fisheye SLAM session (two Kannala-Brandt8 cameras, TUM-VI
+    style rig).
+
+    Reference: Frame's stereo-fisheye constructor + ComputeStereoFishEyeMatches
+    (src/map/frame.cc:1134+) and KannalaBrandt8::TriangulateMatches
+    (src/cam/camera_models/kannalabrandt8_model.cc). TPU redesign: left-right
+    association is one dense masked Hamming match restricted to the lapping
+    areas; matched rays are midpoint-triangulated through the rig extrinsics
+    (frontend/stereo.py::fisheye_stereo_match), and the resulting metric depth
+    drives the same machinery as RGB-D: a virtual right-u coordinate
+    u_R = u_L - bf/z carries the scale information into the stereo residuals
+    (the reference instead keeps the right observations as separate
+    body-frame reprojection factors — the virtual-disparity form keeps the
+    per-frame program identical across stereo modes at equal scale
+    observability).
+    """
+
+    def __init__(self, config: SlamConfig, cam2_params, T_c1_c2,
+                 lapping1=None, lapping2=None):
+        T12 = np.asarray(T_c1_c2, np.float64)
+        baseline = float(np.linalg.norm(T12[:3, 3]))
+        super().__init__(config, baseline)
+        self.cam2_params = jnp.asarray(cam2_params, jnp.float32)
+        T21 = np.linalg.inv(T12)
+        self.R21 = jnp.asarray(T21[:3, :3], jnp.float32)
+        self.t21 = jnp.asarray(T21[:3, 3], jnp.float32)
+        w = config.image_size[1]
+        self.lap1 = tuple(lapping1) if lapping1 else (0.0, float(w))
+        self.lap2 = tuple(lapping2) if lapping2 else (0.0, float(w))
+
+    def process_stereo_features(self, featsL: extractor.Features,
+                                featsR: extractor.Features,
+                                timestamp: float) -> FrameRecord:
+        depth, _ = fisheye_stereo_match(
+            featsL, featsR, self.cam_params, self.cam2_params,
+            self.R21, self.t21, self.lap1, self.lap2)
+        return self.process_rgbd_features(featsL, depth, timestamp)

@@ -37,7 +37,7 @@ from ..solver.vi_ba import (InertialFactorBatch, VIState, body_state,
 from ..frontend import extractor
 from .config import SlamConfig
 from .tracker import FrameRecord, MonoTracker, TrackState
-from .stereo_tracker import StereoTracker
+from .stereo_tracker import FisheyeStereoTracker, StereoTracker
 
 
 class InertialMixin:
@@ -448,3 +448,31 @@ class StereoVioTracker(InertialMixin, StereoTracker):
             self.trajectory.append(rec)
             return rec
         return self.process_features(feats, timestamp)
+
+
+class FisheyeStereoVioTracker(InertialMixin, FisheyeStereoTracker):
+    """Stereo-inertial fisheye session (TUM-VI style KB8 rig + IMU).
+
+    The fisheye left-right association (lapping-area Hamming match + ray
+    triangulation, frontend/stereo.py) supplies metric depth; scale is
+    observable visually, so like the rectified stereo-inertial mode the IMU
+    init holds scale fixed (reference: fixed-scale InertialOptimization)."""
+
+    _imu_optimize_scale = False
+
+    def __init__(self, config: SlamConfig, cam2_params, T_c1_c2,
+                 calib: ImuCalib, lapping1=None, lapping2=None):
+        FisheyeStereoTracker.__init__(self, config, cam2_params, T_c1_c2,
+                                      lapping1, lapping2)
+        self._init_inertial(calib)
+
+    def process_stereo_imu(self, featsL, featsR, timestamp, acc, gyro,
+                           meas_t):
+        from ..frontend.stereo import fisheye_stereo_match
+        depth, has = fisheye_stereo_match(
+            featsL, featsR, self.cam_params, self.cam2_params,
+            self.R21, self.t21, self.lap1, self.lap2)
+        self._cur_uright = jnp.where(
+            has, featsL.uv[:, 0] - self.bf / jnp.maximum(depth, 1e-6), -1.0)
+        self._cur_has_stereo = has & featsL.valid
+        return self.process_frame_imu(featsL, timestamp, acc, gyro, meas_t)

@@ -59,3 +59,56 @@ def depth_from_disparity(u_left: jnp.ndarray, u_right: jnp.ndarray,
     disp = jnp.maximum(u_left - u_right, 1e-6)
     z = bf / disp
     return jnp.where(has_stereo, z, -1.0)
+
+
+def fisheye_stereo_match(
+    featsL: Features,
+    featsR: Features,
+    cam1: jnp.ndarray,           # (8,) KB8 params, left
+    cam2: jnp.ndarray,           # (8,) KB8 params, right
+    R21: jnp.ndarray,            # (3,3) left-cam -> right-cam rotation
+    t21: jnp.ndarray,            # (3,)
+    lap1: Tuple[float, float] = (0.0, 1e9),   # left lapping-area u range
+    lap2: Tuple[float, float] = (0.0, 1e9),   # right lapping-area u range
+    max_dist: int = 50,          # TH_LOW (descriptor gate, frame.cc:1170)
+    reproj_sigma: float = 2.0,   # px, acceptance threshold per observation
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Non-rectified (fisheye) stereo: descriptor match + ray triangulation.
+
+    Replaces Frame::ComputeStereoFishEyeMatches + KannalaBrandt8::
+    TriangulateMatches (reference src/map/frame.cc:1134+,
+    src/cam/camera_models/kannalabrandt8_model.cc): restrict both feature
+    sets to their stereo-overlap ("lapping") column ranges, brute-force
+    Hamming match, unproject both rays, midpoint-triangulate through the
+    extrinsics, and accept by reprojection error in BOTH views. One dense
+    masked matrix program instead of per-feature loops.
+
+    Returns (depth (N,) in the LEFT camera, ok (N,)); depth -1 invalid.
+    """
+    from .. import cameras
+
+    uL, uR = featsL.uv[:, 0], featsR.uv[:, 0]
+    in_lap_L = (uL >= lap1[0]) & (uL <= lap1[1]) & featsL.valid
+    in_lap_R = (uR >= lap2[0]) & (uR <= lap2[1]) & featsR.valid
+    oct_ok = jnp.abs(featsL.octave[:, None] - featsR.octave[None, :]) <= 1
+    mask = in_lap_L[:, None] & in_lap_R[None, :] & oct_ok
+    idx, ok = match_masked(featsL.desc, featsR.desc, mask, max_dist=max_dist)
+    idx_c = jnp.clip(idx, 0, featsR.uv.shape[0] - 1)
+
+    raysL = cameras.unproject(cameras.KANNALA_BRANDT8, cam1, featsL.uv)
+    raysR_all = cameras.unproject(cameras.KANNALA_BRANDT8, cam2, featsR.uv)
+    raysR = raysR_all[idx_c]
+    X_L = cameras.triangulate(raysL, raysR, R21, t21)   # left-cam frame
+    z = X_L[..., 2]
+    X_R = X_L @ R21.T + t21
+    # acceptance: positive depth both views + reprojection error both views
+    # (reference TriangulateMatches: chi2 < 5.991 * sigma^2 per view)
+    uvL_hat = cameras.project(cameras.KANNALA_BRANDT8, cam1, X_L)
+    uvR_hat = cameras.project(cameras.KANNALA_BRANDT8, cam2, X_R)
+    eL = jnp.sum((uvL_hat - featsL.uv) ** 2, axis=-1)
+    eR = jnp.sum((uvR_hat - featsR.uv[idx_c]) ** 2, axis=-1)
+    sig2L = reproj_sigma ** 2 * 1.2 ** (2 * featsL.octave.astype(jnp.float32))
+    th = 5.991 * sig2L
+    good = (ok & (z > 0.05) & (X_R[..., 2] > 0.05)
+            & (eL < th) & (eR < th))
+    return jnp.where(good, z, -1.0), good

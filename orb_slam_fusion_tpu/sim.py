@@ -337,3 +337,22 @@ def gt_positions(world: SyntheticWorld) -> np.ndarray:
     """Ground-truth camera centers (T, 3) in world coords."""
     inv = lie.se3_inverse(world.poses)
     return np.asarray(inv.t)
+
+
+def render_fisheye_stereo_frame(world: SyntheticWorld, frame: int,
+                                cam1, cam2, image_size, n_features: int,
+                                T_c1_c2, seed: int = 0, **kw):
+    """Render a NON-rectified fisheye stereo pair (two KB8 cameras related
+    by the full rig extrinsics T_c1_c2). Returns (featsL, featsR)."""
+    T12 = jnp.asarray(T_c1_c2, jnp.float32)
+    T21_R = T12[:3, :3].T
+    T21_t = -T21_R @ T12[:3, 3]
+    pose_l = lie.SE3(world.poses.R[frame], world.poses.t[frame])
+    pose_r = lie.se3_compose(lie.SE3(T21_R, T21_t), pose_l)
+    fL = render_frame(world, frame, jnp.asarray(cam1), image_size,
+                      n_features, seed=seed,
+                      cam_model=cameras.KANNALA_BRANDT8, **kw)
+    fR = render_frame(world, frame, jnp.asarray(cam2), image_size,
+                      n_features, seed=seed + 1, pose_override=pose_r,
+                      cam_model=cameras.KANNALA_BRANDT8, **kw)
+    return fL, fR

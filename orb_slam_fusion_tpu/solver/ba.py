@@ -233,7 +233,15 @@ def _eval_factors(poses: lie.SE3, points: jnp.ndarray, prob: BAProblem,
     J_pose = jnp.einsum("fij,fjk->fik", Jproj, Jpc_pose)
     J_point = jnp.einsum("fij,fjk->fik", Jproj, Rk)
     depth_ok = pc[..., 2] > 1e-4
-    return r, J_pose, J_point, depth_ok
+    # masked rows must carry zeros, not NaN/Inf (0 * NaN = NaN would poison
+    # the weighted reductions; KB8 Jacobians degenerate at padded pc=0)
+    finite = (depth_ok & jnp.all(jnp.isfinite(r), axis=-1)
+              & jnp.all(jnp.isfinite(J_pose), axis=(-2, -1))
+              & jnp.all(jnp.isfinite(J_point), axis=(-2, -1)))
+    r = jnp.where(finite[..., None], r, 0.0)
+    J_pose = jnp.where(finite[..., None, None], J_pose, 0.0)
+    J_point = jnp.where(finite[..., None, None], J_point, 0.0)
+    return r, J_pose, J_point, finite
 
 
 def _factor_chi2_th(prob: BAProblem, chi2_th) -> jnp.ndarray:

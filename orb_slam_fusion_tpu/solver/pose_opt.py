@@ -36,7 +36,14 @@ def _residual_and_jac(pose: lie.SE3, points_w: jnp.ndarray, uv: jnp.ndarray,
     )  # (N,3,6)
     J = jnp.einsum("nij,njk->nik", Jproj, Jpc)  # (N,2,6)
     depth_ok = pc[..., 2] > 1e-4
-    return r, J, depth_ok
+    # rows that will be masked out (bad depth / degenerate projection) must
+    # carry ZEROS, not NaN/Inf: 0 * NaN = NaN would poison the weighted
+    # normal-equation reductions for every row
+    finite = (depth_ok & jnp.all(jnp.isfinite(r), axis=-1)
+              & jnp.all(jnp.isfinite(J), axis=(-2, -1)))
+    r = jnp.where(finite[..., None], r, 0.0)
+    J = jnp.where(finite[..., None, None], J, 0.0)
+    return r, J, finite
 
 
 @functools.partial(

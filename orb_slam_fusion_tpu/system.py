@@ -57,11 +57,18 @@ class System:
         self.settings = settings
         cfg = config or (settings.slam if settings else SlamConfig())
 
+        fisheye_rig = settings is not None and settings.cam2_params is not None
         if sensor == Sensor.MONOCULAR:
             self.tracker = MonoTracker(cfg)
         elif sensor == Sensor.STEREO:
-            self.tracker = StereoTracker(cfg, settings.baseline
-                                         if settings else 0.11)
+            if fisheye_rig:
+                from .engine.stereo_tracker import FisheyeStereoTracker
+                lap1, lap2 = settings.lapping or (None, None)
+                self.tracker = FisheyeStereoTracker(
+                    cfg, settings.cam2_params, settings.T_c1_c2, lap1, lap2)
+            else:
+                self.tracker = StereoTracker(cfg, settings.baseline
+                                             if settings else 0.11)
         elif sensor == Sensor.RGBD:
             self.tracker = RgbdTracker(cfg, settings.baseline
                                        if settings else 0.08)
@@ -72,9 +79,16 @@ class System:
         elif sensor == Sensor.IMU_STEREO:
             if settings is None or settings.calib is None:
                 raise ValueError("inertial sensor requires IMU calibration")
-            from .engine.vio_tracker import StereoVioTracker
-            self.tracker = StereoVioTracker(cfg, settings.baseline,
-                                            settings.calib)
+            if fisheye_rig:
+                from .engine.vio_tracker import FisheyeStereoVioTracker
+                lap1, lap2 = settings.lapping or (None, None)
+                self.tracker = FisheyeStereoVioTracker(
+                    cfg, settings.cam2_params, settings.T_c1_c2,
+                    settings.calib, lap1, lap2)
+            else:
+                from .engine.vio_tracker import StereoVioTracker
+                self.tracker = StereoVioTracker(cfg, settings.baseline,
+                                                settings.calib)
         else:
             raise ValueError(f"unknown sensor {sensor}")
         self._localization_only = False

@@ -227,3 +227,86 @@ def test_atlas_autosave_autoload(tmp_path):
     p3 = tmp_path / "cfg3.yaml"
     p3.write_text(EUROC_YAML + 'System.LoadAtlasFromFile: "/nope/missing"\n')
     System(settings=load_settings(str(p3), "mono"), sensor=Sensor.MONOCULAR)
+
+
+TUMVI_YAML = """\
+%YAML:1.0
+File.version: "1.0"
+Camera.type: "KannalaBrandt8"
+Camera1.fx: 190.97847715128717
+Camera1.fy: 190.9733070521226
+Camera1.cx: 254.93170605935475
+Camera1.cy: 256.8974428996504
+Camera1.k1: 0.0034823894022493434
+Camera1.k2: 0.0007150348452162257
+Camera1.k3: -0.0020532361418706202
+Camera1.k4: 0.00020293673591811182
+Camera1.overlappingBegin: 0
+Camera1.overlappingEnd: 511
+Camera2.fx: 190.44236969414825
+Camera2.fy: 190.4344384721956
+Camera2.cx: 252.59949716835982
+Camera2.cy: 254.91723064636983
+Camera2.k1: 0.0034003170790442797
+Camera2.k2: 0.001766278153469831
+Camera2.k3: -0.00266312569781606
+Camera2.k4: 0.0003299517423931039
+Camera2.overlappingBegin: 0
+Camera2.overlappingEnd: 511
+Camera.width: 512
+Camera.height: 512
+Camera.fps: 20
+Camera.RGB: 1
+Stereo.ThDepth: 40.0
+Stereo.T_c1_c2: !!opencv-matrix
+  rows: 4
+  cols: 4
+  dt: f
+  data: [0.999994, -0.002184, 0.002668, 0.101063,
+         0.002191, 0.999994, -0.002628, -0.001946,
+         -0.002662, 0.002634, 0.999993, 0.000925,
+         0.0, 0.0, 0.0, 1.0]
+IMU.T_b_c1: !!opencv-matrix
+  rows: 4
+  cols: 4
+  dt: f
+  data: [-0.99952504, 0.00750192, -0.02989013, 0.04557484,
+         0.02961534, -0.03439736, -0.99896935, -0.07116180,
+         -0.00852233, -0.99938008, 0.03415885, -0.04468125,
+         0.0, 0.0, 0.0, 1.0]
+IMU.NoiseGyro: 0.00016
+IMU.NoiseAcc: 0.0028
+IMU.GyroWalk: 0.000022
+IMU.AccWalk: 0.00086
+IMU.Frequency: 200.0
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
+
+def test_tumvi_fisheye_stereo_settings(tmp_path):
+    """KB8 stereo rig (TUM-VI schema): cam2 + lapping areas parsed, System
+    builds the fisheye stereo tracker (reference settings.cc:276-348)."""
+    from orb_slam_fusion_tpu.engine.stereo_tracker import FisheyeStereoTracker
+    from orb_slam_fusion_tpu.system import Sensor, System
+
+    p = tmp_path / "tumvi.yaml"
+    p.write_text(TUMVI_YAML)
+    s = load_settings(str(p), "stereo-imu")
+    assert s.slam.cam_model == "kannala_brandt8"
+    assert len(s.cam2_params) == 8
+    assert s.lapping == ((0.0, 511.0), (0.0, 511.0))
+    assert abs(s.baseline - 0.10108) < 1e-3
+    assert s.rect_maps is None          # fisheye rigs never rectify
+    assert s.calib is not None
+
+    sys_ = System(settings=load_settings(str(p), "stereo"),
+                  sensor=Sensor.STEREO)
+    assert isinstance(sys_.tracker, FisheyeStereoTracker)
+
+    from orb_slam_fusion_tpu.engine.vio_tracker import FisheyeStereoVioTracker
+    sys2 = System(settings=s, sensor=Sensor.IMU_STEREO)
+    assert isinstance(sys2.tracker, FisheyeStereoVioTracker)
