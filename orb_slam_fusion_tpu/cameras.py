@@ -329,12 +329,13 @@ def radtan_distort_normalized(dist: jnp.ndarray, xy: jnp.ndarray
                               ) -> jnp.ndarray:
     """Apply radial-tangential (plumb-bob) distortion to normalized coords.
 
-    dist = (k1, k2, p1, p2); xy (..., 2) at z=1.
+    dist = (k1, k2, p1, p2[, k3]); xy (..., 2) at z=1.
     """
     k1, k2, p1, p2 = dist[0], dist[1], dist[2], dist[3]
+    k3 = dist[4] if dist.shape[0] > 4 else 0.0
     x, y = xy[..., 0], xy[..., 1]
     r2 = x * x + y * y
-    rad = 1.0 + r2 * (k1 + k2 * r2)
+    rad = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
     xd = x * rad + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
     yd = y * rad + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
     return jnp.stack([xd, yd], axis=-1)
@@ -354,10 +355,11 @@ def undistort_points(params: jnp.ndarray, dist: jnp.ndarray,
     xd = (uv[..., 0] - cx) / fx
     yd = (uv[..., 1] - cy) / fy
     k1, k2, p1, p2 = dist[0], dist[1], dist[2], dist[3]
+    k3 = dist[4] if dist.shape[0] > 4 else 0.0
     x, y = xd, yd
     for _ in range(iters):
         r2 = x * x + y * y
-        rad = 1.0 + r2 * (k1 + k2 * r2)
+        rad = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
         dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
         dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
         x = (xd - dx) / rad

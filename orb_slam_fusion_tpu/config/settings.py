@@ -66,6 +66,9 @@ class Settings:
     # configs resize through the maps instead.
     resize_to: Optional[Tuple[int, int]] = None
     th_far_points: float = 0.0         # System.thFarPoints (0 = unlimited)
+    # raw depth-image value -> metres divisor (reference DepthMapFactor;
+    # TUM RGB-D ships 5000.0)
+    depth_map_factor: float = 1.0
 
 
 def _req(d, key):
@@ -84,10 +87,15 @@ def load_settings(path: str, sensor: str = "mono") -> Settings:
     d = yaml.load("\n".join(lines), Loader=_get_loader())
 
     version = d.get("File.version")
+    if version is None:
+        # legacy ORB-SLAM3-style file (no File.version): different key
+        # names, parsed by the reference's Tracking::Parse*ParamFile
+        # (tracking.cc:224-933) instead of the Settings class
+        return _load_legacy(d, sensor)
     if version != "1.0":
         raise ValueError(
-            f"unsupported settings version {version!r} (expected '1.0' — "
-            "the reference's legacy no-version files are not supported)")
+            f"unsupported settings version {version!r} (expected '1.0' "
+            "or a legacy no-version file)")
 
     cam_type = _req(d, "Camera.type")
     if cam_type in ("PinHole", "Rectified"):
@@ -239,4 +247,115 @@ def load_settings(path: str, sensor: str = "mono") -> Settings:
         cam2_params=cam2_params,
         T_c1_c2=T_c1_c2,
         lapping=lapping,
+    )
+
+
+def _load_legacy(d: dict, sensor: str) -> Settings:
+    """Legacy (no File.version) schema: Camera.fx, Camera.k1..k3, Camera.bf,
+    Tbc, Tlr, Camera.lappingBegin/End — the format the reference parses in
+    Tracking::ParseCamParamFile / ParseORBParamFile / ParseIMUParamFile
+    (tracking.cc:224-933). Pinhole stereo input is assumed pre-rectified
+    (scale from Camera.bf); KB8 stereo uses the fisheye rig path."""
+    cam_type = str(d.get("Camera.type", "PinHole"))
+    scale = float(d.get("Camera.imageScale", 1.0))
+    width = int(_req(d, "Camera.width"))
+    height = int(_req(d, "Camera.height"))
+    fps = float(d.get("Camera.fps", 30.0))
+    rgb = bool(int(d.get("Camera.RGB", 1)))
+    th_depth = float(d.get("ThDepth", 35.0))
+
+    fx = float(_req(d, "Camera.fx")) * scale
+    fy = float(_req(d, "Camera.fy")) * scale
+    cx = float(_req(d, "Camera.cx")) * scale
+    cy = float(_req(d, "Camera.cy")) * scale
+
+    cam2_params = None
+    T_c1_c2 = None
+    lapping = None
+    if cam_type in ("PinHole", "Rectified"):
+        cam_model = "pinhole"
+        cam_params = (fx, fy, cx, cy)
+        distortion = tuple(float(d.get(f"Camera.{k}", 0.0))
+                           for k in ("k1", "k2", "p1", "p2", "k3"))
+        if not distortion[4]:
+            distortion = distortion[:4]
+        if not any(distortion):
+            distortion = ()
+    elif cam_type == "KannalaBrandt8":
+        cam_model = "kannala_brandt8"
+        cam_params = (fx, fy, cx, cy) + tuple(
+            float(_req(d, f"Camera.{k}")) for k in ("k1", "k2", "k3", "k4"))
+        distortion = ()
+        if "stereo" in sensor:
+            cam2_params = (
+                float(_req(d, "Camera2.fx")) * scale,
+                float(_req(d, "Camera2.fy")) * scale,
+                float(_req(d, "Camera2.cx")) * scale,
+                float(_req(d, "Camera2.cy")) * scale,
+            ) + tuple(float(_req(d, f"Camera2.{k}"))
+                      for k in ("k1", "k2", "k3", "k4"))
+            Tlr = np.asarray(_req(d, "Tlr"), np.float64)  # 3x4 T_c1_c2
+            T_c1_c2 = np.eye(4)
+            T_c1_c2[:3, :] = Tlr
+            lapping = (
+                (scale * float(d.get("Camera.lappingBegin", 0)),
+                 scale * float(d.get("Camera.lappingEnd", width))),
+                (scale * float(d.get("Camera2.lappingBegin", 0)),
+                 scale * float(d.get("Camera2.lappingEnd", width))),
+            )
+    else:
+        raise ValueError(f"unknown Camera.type {cam_type!r}")
+
+    baseline = 0.0
+    if "stereo" in sensor or sensor == "rgbd":
+        bf = float(_req(d, "Camera.bf")) * scale
+        baseline = bf / fx
+
+    calib = None
+    if "imu" in sensor:
+        Tbc = np.asarray(_req(d, "Tbc"))
+        calib = make_calib(
+            Tbc_R=Tbc[:3, :3].astype(np.float32),
+            Tbc_t=Tbc[:3, 3].astype(np.float32),
+            noise_gyro=float(_req(d, "IMU.NoiseGyro")),
+            noise_acc=float(_req(d, "IMU.NoiseAcc")),
+            walk_gyro=float(_req(d, "IMU.GyroWalk")),
+            walk_acc=float(_req(d, "IMU.AccWalk")),
+            freq=float(_req(d, "IMU.Frequency")),
+        )
+
+    orb = OrbParams(
+        n_features=int(d.get("ORBextractor.nFeatures", 1024)),
+        num_levels=int(d.get("ORBextractor.nLevels", 8)),
+        scale_factor=float(d.get("ORBextractor.scaleFactor", 1.2)),
+        fast_threshold_high=float(d.get("ORBextractor.iniThFAST", 20)),
+        fast_threshold_low=float(d.get("ORBextractor.minThFAST", 7)),
+    )
+    new_h, new_w = int(round(height * scale)), int(round(width * scale))
+    slam = SlamConfig(
+        cam_model=cam_model,
+        cam_params=cam_params,
+        distortion=() if "stereo" in sensor else distortion,
+        image_size=(new_h, new_w),
+        fps=fps,
+        orb=orb,
+        th_far_points=float(d.get("thFarPoints", 0.0)),
+    )
+    return Settings(
+        slam=slam,
+        calib=calib,
+        baseline=baseline,
+        th_depth=th_depth,
+        fps=fps,
+        distortion=distortion,
+        load_atlas=d.get("System.LoadAtlasFromFile"),
+        save_atlas=d.get("System.SaveAtlasToFile"),
+        rect_maps=None,
+        rgb=rgb,
+        resize_to=(new_h, new_w) if scale != 1.0 else None,
+        th_far_points=float(d.get("thFarPoints", 0.0)),
+        cam2_params=cam2_params,
+        T_c1_c2=T_c1_c2,
+        lapping=lapping,
+        depth_map_factor=float(d.get("DepthMapFactor", 1.0)),
     )

@@ -161,9 +161,13 @@ class System:
         return remap_stereo_pair(imgL, imgR, *self._rect_maps_dev)
 
     def track_rgbd(self, img, depth, timestamp: float) -> FrameRecord:
+        depth = jnp.asarray(depth)
+        if self.settings is not None and self.settings.depth_map_factor != 1.0:
+            # raw sensor units -> metres (reference DepthMapFactor,
+            # tracking.cc GrabImageRGBD)
+            depth = depth / self.settings.depth_map_factor
         return self.tracker.process_rgbd_images(
-            self._preprocess(jnp.asarray(img)), jnp.asarray(depth),
-            timestamp)
+            self._preprocess(jnp.asarray(img)), depth, timestamp)
 
     # -- modes (reference ActivateLocalizationMode, system.cc:287) ---------
 

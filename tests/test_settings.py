@@ -91,10 +91,16 @@ def test_stereo_imu_rectified_no_distortion(yaml_path):
 
 
 def test_version_guard(tmp_path):
-    p = tmp_path / "old.yaml"
-    p.write_text("Camera.type: \"PinHole\"\n")
+    # unknown explicit version -> rejected
+    p = tmp_path / "future.yaml"
+    p.write_text('File.version: "2.0"\nCamera.type: "PinHole"\n')
     with pytest.raises(ValueError):
         load_settings(str(p), "mono")
+    # no version -> legacy path, which demands the legacy required keys
+    p2 = tmp_path / "old.yaml"
+    p2.write_text('Camera.type: "PinHole"\n')
+    with pytest.raises(KeyError):
+        load_settings(str(p2), "mono")
 
 
 CAMERA2_BLOCK = """\
@@ -310,3 +316,123 @@ def test_tumvi_fisheye_stereo_settings(tmp_path):
     from orb_slam_fusion_tpu.engine.vio_tracker import FisheyeStereoVioTracker
     sys2 = System(settings=s, sensor=Sensor.IMU_STEREO)
     assert isinstance(sys2.tracker, FisheyeStereoVioTracker)
+
+
+LEGACY_EUROC_YAML = """\
+%YAML:1.0
+Camera.type: "PinHole"
+Camera.fx: 435.2046959714599
+Camera.fy: 435.2046959714599
+Camera.cx: 367.4517211914062
+Camera.cy: 252.2008514404297
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.width: 752
+Camera.height: 480
+Camera.fps: 20.0
+Camera.bf: 47.90639384423901
+Camera.RGB: 1
+ThDepth: 35.0
+Tbc: !!opencv-matrix
+  rows: 4
+  cols: 4
+  dt: f
+  data: [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975,
+         0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768,
+         -0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949,
+         0.0, 0.0, 0.0, 1.0]
+IMU.NoiseGyro: 1.7e-4
+IMU.NoiseAcc: 2.0e-3
+IMU.GyroWalk: 1.9393e-05
+IMU.AccWalk: 3.0000e-03
+IMU.Frequency: 200
+ORBextractor.nFeatures: 1200
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
+LEGACY_TUM_RGBD_YAML = """\
+%YAML:1.0
+Camera.type: "PinHole"
+Camera.fx: 517.306408
+Camera.fy: 516.469215
+Camera.cx: 318.643040
+Camera.cy: 255.313989
+Camera.k1: 0.262383
+Camera.k2: -0.953104
+Camera.p1: -0.005358
+Camera.p2: 0.002628
+Camera.k3: 1.163314
+Camera.width: 640
+Camera.height: 480
+Camera.fps: 30.0
+Camera.bf: 40.0
+Camera.RGB: 1
+ThDepth: 40.0
+DepthMapFactor: 5000.0
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
+
+def test_legacy_euroc_stereo_imu(tmp_path):
+    """Legacy (no File.version) ORB-SLAM3 schema: Camera.fx / Camera.bf /
+    Tbc keys (reference Tracking::Parse*ParamFile, tracking.cc:224-933)."""
+    p = tmp_path / "legacy.yaml"
+    p.write_text(LEGACY_EUROC_YAML)
+    s = load_settings(str(p), "stereo-imu")
+    assert s.slam.cam_model == "pinhole"
+    assert abs(s.slam.cam_params[0] - 435.2047) < 1e-3
+    # baseline recovered from bf
+    assert abs(s.baseline - 47.90639384423901 / 435.2046959714599) < 1e-6
+    assert s.calib is not None
+    assert s.th_depth == 35.0
+    assert s.slam.orb.n_features == 1200
+    assert s.slam.distortion == ()   # pre-rectified legacy stereo
+
+
+def test_legacy_tum_rgbd(tmp_path):
+    """TUM RGB-D legacy config: 5-coefficient distortion (k3) and
+    DepthMapFactor."""
+    p = tmp_path / "tum1.yaml"
+    p.write_text(LEGACY_TUM_RGBD_YAML)
+    s = load_settings(str(p), "rgbd")
+    assert len(s.slam.distortion) == 5
+    assert abs(s.slam.distortion[4] - 1.163314) < 1e-6
+    assert s.depth_map_factor == 5000.0
+    assert abs(s.baseline - 40.0 / 517.306408) < 1e-9
+
+    # the 5-coefficient undistortion matches OpenCV
+    import cv2
+    import jax.numpy as jnp
+    from orb_slam_fusion_tpu import cameras
+
+    K = np.array([[517.306408, 0, 318.643040],
+                  [0, 516.469215, 255.313989], [0, 0, 1]])
+    D = np.array(s.slam.distortion)
+    rng = np.random.RandomState(2)
+    uv_d = rng.uniform([100, 100], [540, 380], (100, 2))
+    ours = np.asarray(cameras.undistort_points(
+        jnp.asarray(s.slam.cam_params), jnp.asarray(D),
+        jnp.asarray(uv_d, jnp.float32), iters=20))
+    ref = cv2.undistortPoints(uv_d.reshape(-1, 1, 2), K, D,
+                              P=K).reshape(-1, 2)
+    np.testing.assert_allclose(ours, ref, atol=0.1)
+
+
+def test_legacy_image_scale(tmp_path):
+    p = tmp_path / "scaled.yaml"
+    p.write_text(LEGACY_EUROC_YAML + "Camera.imageScale: 0.5\n")
+    s = load_settings(str(p), "stereo")
+    assert abs(s.slam.cam_params[0] - 435.2046959714599 * 0.5) < 1e-6
+    assert s.slam.image_size == (240, 376)
+    assert s.resize_to == (240, 376)
+    # bf scales with fx so the metric baseline is unchanged
+    assert abs(s.baseline - 47.90639384423901 / 435.2046959714599) < 1e-6
