@@ -69,6 +69,7 @@ class Settings:
     # raw depth-image value -> metres divisor (reference DepthMapFactor;
     # TUM RGB-D ships 5000.0)
     depth_map_factor: float = 1.0
+    image_scale: float = 1.0           # resize factor vs raw input width
 
 
 def _req(d, key):
@@ -247,6 +248,8 @@ def load_settings(path: str, sensor: str = "mono") -> Settings:
         cam2_params=cam2_params,
         T_c1_c2=T_c1_c2,
         lapping=lapping,
+        image_scale=(new_w / int(_req(d, "Camera.width"))
+                     if need_resize else 1.0),
     )
 
 
@@ -358,4 +361,5 @@ def _load_legacy(d: dict, sensor: str) -> Settings:
         T_c1_c2=T_c1_c2,
         lapping=lapping,
         depth_map_factor=float(d.get("DepthMapFactor", 1.0)),
+        image_scale=scale,
     )

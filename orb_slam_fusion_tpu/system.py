@@ -215,6 +215,68 @@ class System:
                          q[1], q[2], q[3], q[0]])
         save_tum(path, np.asarray(rows))
 
+    def save_keyframe_trajectory_euroc(self, path: str) -> None:
+        """Reference System::SaveKeyFrameTrajectoryEuRoC (system.cc)."""
+        m = self.tracker.map
+        rows = []
+        for k in range(int(m.n_kf)):
+            if not bool(m.kf_valid[k]):
+                continue
+            Twc = lie.se3_inverse(lie.SE3(m.kf_pose.R[k], m.kf_pose.t[k]))
+            q = np.asarray(lie.quat_from_mat(Twc.R))
+            t = np.asarray(Twc.t)
+            rows.append([float(m.kf_timestamp[k]), t[0], t[1], t[2],
+                         q[1], q[2], q[3], q[0]])
+        save_euroc(path, np.asarray(rows))
+
+    # -- state accessors (reference system.h:181-192) ----------------------
+
+    def get_tracking_state(self):
+        """Reference System::GetTrackingState (int-valued enum)."""
+        return self.tracker.state
+
+    def is_lost(self) -> bool:
+        from .engine.tracker import TrackState
+        return self.tracker.state == TrackState.LOST
+
+    def map_changed(self) -> bool:
+        """True once per map revision (reference System::MapChanged — the
+        Atlas change-index handshake)."""
+        cur = int(self.tracker.map.n_kf) + int(self.tracker.map.n_mp)
+        changed = cur != getattr(self, "_last_map_index", -1)
+        self._last_map_index = cur
+        return changed
+
+    def get_tracked_map_points(self) -> np.ndarray:
+        """Map-point rows observed by the current frame (reference
+        GetTrackedMapPoints; -1 entries = unmatched features)."""
+        obs = self.tracker._cur_obs
+        return np.asarray(obs) if obs is not None else np.empty(0, np.int32)
+
+    def get_time_from_imu_init(self) -> float:
+        t = getattr(self.tracker, "imu_init_time", None)
+        if t is None or not getattr(self.tracker, "imu_initialized", False):
+            return 0.0
+        last = self.tracker.trajectory[-1].timestamp \
+            if self.tracker.trajectory else t
+        return max(0.0, last - t)
+
+    def get_image_scale(self) -> float:
+        """Reference System::GetImageScale (resize factor vs raw input)."""
+        return self.settings.image_scale if self.settings else 1.0
+
+    def reset_active_map(self) -> None:
+        """Archive + restart only the active map (reference
+        System::ResetActiveMap -> Tracking::ResetActiveMap)."""
+        self.tracker.reset_map()
+
+    def change_dataset(self) -> None:
+        """Mark a timestamp discontinuity between sequences (reference
+        System::ChangeDataset): drop the motion model so the next frame
+        re-anchors instead of extrapolating across the jump."""
+        self.tracker.velocity = lie.se3_identity()
+        self.tracker.frames_since_kf = 0
+
     # -- atlas persistence (reference SaveAtlas/LoadAtlas) -----------------
 
     def _vocab_words(self):

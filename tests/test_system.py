@@ -140,3 +140,28 @@ def test_stereo_system_rectifies_input(tmp_path):
     assert rL.shape == imgL.shape and rR.shape == imgR.shape
     # and the tracker was configured with the rectified intrinsics
     assert sys_.tracker.cfg.cam_params == s.slam.cam_params
+
+
+def test_state_accessors(tmp_path):
+    """Reference System accessor surface (system.h:129-192)."""
+    import numpy as np
+    from tests.test_settings import EUROC_YAML
+    from orb_slam_fusion_tpu.config import load_settings
+    from orb_slam_fusion_tpu.engine.tracker import TrackState
+    from orb_slam_fusion_tpu.system import Sensor, System
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text(EUROC_YAML)
+    s = load_settings(str(p), "mono")
+    sys_ = System(settings=s, sensor=Sensor.MONOCULAR)
+    assert sys_.get_tracking_state() in (TrackState.NO_IMAGES,
+                                         TrackState.NOT_INITIALIZED)
+    assert not sys_.is_lost()
+    assert sys_.get_image_scale() == 1.0
+    assert sys_.get_time_from_imu_init() == 0.0
+    assert sys_.map_changed()          # first call: unseen revision
+    assert not sys_.map_changed()      # unchanged since
+    sys_.change_dataset()              # must not raise
+    sys_.reset_active_map()
+    assert sys_.get_tracking_state() == TrackState.NOT_INITIALIZED
+    assert sys_.get_tracked_map_points().size == 0
