@@ -70,15 +70,27 @@ def fused_track_step(
             vis = vis & (pc[..., 2] < far_threshold)
         return uv, vis
 
+    F = kp_uv.shape[0]
+    M = mp_pos.shape[0]
+
+    def invert(midx, mok):
+        # matches come out per MAP POINT (best keypoint each); the solve
+        # runs per KEYPOINT (<= F residuals instead of M) — 8x fewer rows
+        # per GN iteration at production shapes
+        mp_of_kp = jnp.full((F,), -1, jnp.int32)
+        return mp_of_kp.at[jnp.where(mok, jnp.clip(midx, 0, F - 1), F)].set(
+            jnp.where(mok, jnp.arange(M, dtype=jnp.int32), -1), mode="drop")
+
     # stage 1: coarse
     uv1, vis1 = project(pred_pose)
     midx, mok = matcher.search_by_projection(
         uv1, mp_desc, vis1, zeros_oct,
         kp_uv, kp_desc, kp_valid, kp_octave,
         radius=radius_coarse, max_dist=matcher.TH_HIGH, octave_window=16)
-    midx_c = jnp.clip(midx, 0, kp_uv.shape[0] - 1)
+    mp_of_kp = invert(midx, mok)
+    sel = jnp.clip(mp_of_kp, 0, M - 1)
     pose1, _, _ = pose_opt.pose_optimization(
-        prev_pose, mp_pos, kp_uv[midx_c], kp_inv_sigma2[midx_c], mok,
+        prev_pose, mp_pos[sel], kp_uv, kp_inv_sigma2, mp_of_kp >= 0,
         cam_params, cam_model=cam_model, rounds=1, iters_per_round=6)
 
     # stage 2: fine re-match at the refined pose
@@ -87,16 +99,24 @@ def fused_track_step(
         uv2, mp_desc, vis2, zeros_oct,
         kp_uv, kp_desc, kp_valid, kp_octave,
         radius=radius_fine, max_dist=matcher.TH_HIGH, octave_window=16)
-    midx_c = jnp.clip(midx, 0, kp_uv.shape[0] - 1)
-    pose2, inlier, n_in = pose_opt.pose_optimization(
-        pose1, mp_pos, kp_uv[midx_c], kp_inv_sigma2[midx_c], mok,
+    mp_of_kp = invert(midx, mok)
+    sel = jnp.clip(mp_of_kp, 0, M - 1)
+    pose2, kp_inlier, n_in = pose_opt.pose_optimization(
+        pose1, mp_pos[sel], kp_uv, kp_inv_sigma2, mp_of_kp >= 0,
         cam_params, cam_model=cam_model, rounds=2, iters_per_round=6)
 
+    # scatter the per-keypoint verdicts back to map-point rows
+    write = kp_inlier & (mp_of_kp >= 0)
+    inlier_m = jnp.zeros((M,), bool).at[
+        jnp.where(write, sel, M)].set(True, mode="drop")
+    matched_feat = jnp.full((M,), -1, jnp.int32).at[
+        jnp.where(write, sel, M)].set(
+        jnp.arange(F, dtype=jnp.int32), mode="drop")
     return TrackStepResult(
         pose=pose2,
-        inliers=inlier,
+        inliers=inlier_m,
         n_inliers=n_in,
-        matched_feat=jnp.where(inlier, midx, -1),
+        matched_feat=matched_feat,
     )
 
 
@@ -196,27 +216,35 @@ def fused_frame_update(
         lambda: (midx0, mok0))
     n_match = jnp.sum(mok.astype(jnp.int32))
 
-    midx_c = jnp.clip(midx, 0, F - 1)
+    def invert(midx, mok):
+        # per-map-point matches -> per-keypoint correspondence table; the
+        # pose solves then evaluate F residual rows instead of M (the map
+        # is ~8x larger than a frame at production shapes, and the GN
+        # chain is the dominant per-frame cost)
+        mp_of_kp = jnp.full((F,), -1, jnp.int32)
+        return mp_of_kp.at[jnp.where(mok, jnp.clip(midx, 0, F - 1), F)].set(
+            jnp.where(mok, jnp.arange(M, dtype=jnp.int32), -1), mode="drop")
+
+    mp_of_kp = invert(midx, mok)
+    sel = jnp.clip(mp_of_kp, 0, M - 1)
     pose1, _, _ = pose_opt.pose_optimization(
-        pred_pose, mp_pos, kp_uv[midx_c], inv_s2[midx_c], mok,
+        pred_pose, mp_pos[sel], kp_uv, inv_s2, mp_of_kp >= 0,
         cam_params, cam_model=cam_model, rounds=1, iters_per_round=6)
 
     # ---- stage 2: fine re-match at the refined pose, anchored re-solve
     uv2, vis2 = project(pose1)
     midx, mok = match_at(uv2, vis2, radius_fine)
-    midx_c = jnp.clip(midx, 0, F - 1)
-    pose2, inlier, n_in = pose_opt.pose_optimization(
-        prev_pose, mp_pos, kp_uv[midx_c], inv_s2[midx_c], mok,
+    mp_of_kp = invert(midx, mok)
+    sel = jnp.clip(mp_of_kp, 0, M - 1)
+    pose2, kp_inlier, n_in = pose_opt.pose_optimization(
+        prev_pose, mp_pos[sel], kp_uv, inv_s2, mp_of_kp >= 0,
         cam_params, cam_model=cam_model, rounds=2, iters_per_round=6)
 
     # ---- bookkeeping on device
-    obs = jnp.full((F,), -1, jnp.int32)
-    mp_rows = jnp.arange(M, dtype=jnp.int32)
-    write = inlier & (midx >= 0)
-    obs = obs.at[jnp.where(write, midx_c, F)].set(
-        jnp.where(write, mp_rows, -1), mode="drop")
+    write = kp_inlier & (mp_of_kp >= 0)
+    obs = jnp.where(write, mp_of_kp, -1)
     mp_visible = mp_visible + vis2.astype(jnp.int32)
-    mp_found = mp_found + inlier.astype(jnp.int32)
+    mp_found = mp_found.at[jnp.where(write, sel, M)].add(1, mode="drop")
     velocity = lie.se3_compose(pose2, lie.se3_inverse(prev_pose))
 
     return FrameUpdate(
