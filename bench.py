@@ -25,6 +25,7 @@ CPU.
 
 import functools
 import json
+import os
 import time
 
 import numpy as np
@@ -42,7 +43,8 @@ def main():
     M, F = 8192, 1024
     H, W = 480, 752
     rng = np.random.RandomState(0)
-    use_pallas = jax.default_backend() not in ("cpu",)
+    use_pallas = jax.default_backend() not in ("cpu",) \
+        and os.environ.get("OSF_BENCH_NO_PALLAS") != "1"
     params = OrbParams(n_features=F)
 
     # synthetic scene: textured image (rectangles on noise -> real FAST

@@ -308,6 +308,31 @@ class MonoTracker:
 
         if (n_matches < cfg.min_track_matches
                 or n_inliers < cfg.min_track_matches // 2):
+            # motion-model tracking failed -> reference-keyframe fallback
+            # (reference: TrackReferenceKeyFrame, tracking.cc:2043 — BoW
+            # match against the last KF, solve from the last frame's pose),
+            # then re-enter the fused local-map step at the recovered pose
+            rec_pose = self._track_reference_kf(feats)
+            if rec_pose is not None:
+                upd = fused_frame_update(
+                    self.map.mp_pos, self.map.mp_desc, self.map.mp_valid,
+                    self.map.mp_visible, self.map.mp_found,
+                    self.cur_pose, rec_pose,
+                    feats.uv, feats.desc, feats.valid, feats.octave,
+                    extractor.inv_scale_sigma2(cfg.orb), self.cam_params,
+                    cam_model=cfg.cam_model, img_h=h, img_w=w,
+                    radius_coarse=cfg.match_radius_coarse,
+                    radius_fine=cfg.match_radius_fine,
+                    min_matches=cfg.min_track_matches,
+                    use_pallas=self.use_pallas,
+                    far_threshold=cfg.th_far_points)
+                n_matches, n_inliers = (int(x)
+                                        for x in np.asarray(upd.counts))
+                self.map = self.map._replace(
+                    mp_visible=upd.mp_visible, mp_found=upd.mp_found)
+
+        if (n_matches < cfg.min_track_matches
+                or n_inliers < cfg.min_track_matches // 2):
             self.state = TrackState.LOST
             self.lost_since = self.frame_id
             self.ref_feats = None
@@ -328,6 +353,37 @@ class MonoTracker:
                 self._insert_keyframe(feats, timestamp, upd.obs)
 
         return FrameRecord(timestamp, self.cur_pose, n_inliers, "ok")
+
+    def _track_reference_kf(self, feats) -> Optional[lie.SE3]:
+        """Descriptor-only match against the reference keyframe + pose solve
+        from the last frame's pose (reference Tracking::TrackReferenceKeyFrame,
+        tracking.cc:2043: SearchByBoW + PoseOptimization). Runs on the rare
+        famine frames where the windowed projection search starved — e.g.
+        fast rotation blowing past the motion model."""
+        kf = self.last_kf_id
+        if kf < 0:
+            return None
+        m = self.map
+        kf_obs = m.kf_obs_mp[kf]
+        kf_has_mp = m.kf_feat_valid[kf] & (kf_obs >= 0)
+        mask = feats.valid[:, None] & kf_has_mp[None, :]
+        # reference SearchByBoW: TH_LOW with a 0.7 ratio test
+        idx, ok = matcher.match_masked(feats.desc, m.kf_desc[kf], mask,
+                                       max_dist=matcher.TH_LOW, ratio=0.7)
+        mp_rows = kf_obs[jnp.clip(idx, 0, kf_obs.shape[0] - 1)]
+        valid = ok & (mp_rows >= 0)
+        if int(jnp.sum(valid)) < 15:   # reference: nmatches < 15 -> fail
+            return None
+        pts = m.mp_pos[jnp.clip(mp_rows, 0, m.mp_pos.shape[0] - 1)]
+        inv_s2 = extractor.inv_scale_sigma2(self.cfg.orb)[
+            jnp.clip(feats.octave, 0, self.cfg.orb.num_levels - 1)]
+        from ..solver import pose_opt
+        pose, _, n_in = pose_opt.pose_optimization(
+            self.cur_pose, pts, feats.uv, inv_s2, valid, self.cam_params,
+            cam_model=self.cfg.cam_model, rounds=4, iters_per_round=10)
+        if int(n_in) < 10:             # reference: nmatchesMap < 10 -> fail
+            return None
+        return pose
 
     def _post_track_refine(self, feats, upd) -> None:
         """Hook: visual-only tracking needs no refinement (the inertial

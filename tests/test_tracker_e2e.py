@@ -63,3 +63,35 @@ def test_ate_small(run_sequence):
     rmse = ate_rmse(est[start:], gt[start:len(est)], with_scale=True)
     # trajectory spans ~15 m; observed ~2-3 mm with 0.3 px noise
     assert rmse < 0.03, f"ATE RMSE {rmse:.3f} m"
+
+
+def test_reference_kf_fallback_recovers_fast_motion():
+    """TrackReferenceKeyFrame fallback (reference tracking.cc:2043): when a
+    motion jump blows past the projection windows, the descriptor-only match
+    against the reference keyframe recovers the pose instead of LOST."""
+    import jax.numpy as jnp
+
+    from orb_slam_fusion_tpu import sim
+    from orb_slam_fusion_tpu.engine import MonoTracker, SlamConfig
+    from orb_slam_fusion_tpu.engine.tracker import TrackState
+    from orb_slam_fusion_tpu.frontend.extractor import OrbParams
+
+    cfg = SlamConfig(cam_params=(400.0, 400.0, 376.0, 240.0),
+                     image_size=(480, 752), orb=OrbParams(n_features=512),
+                     max_keyframes=64, max_map_points=6144, ba_window=6,
+                     loop_closing=False)
+    # few frames -> large per-frame motion; identity velocity at cold start
+    world = sim.make_corridor_world(n_frames=16, n_points=6000, seed=13)
+    tracker = MonoTracker(cfg)
+    cam = jnp.asarray(cfg.cam_params)
+    states = []
+    for k in range(16):
+        feats = sim.render_frame(world, k, cam, cfg.image_size, 512,
+                                 seed=23, pixel_noise=0.3, desc_bit_flips=3,
+                                 dropout=0.08)
+        states.append(tracker.process_features(
+            feats, float(world.timestamps[k])).state)
+    # without the fallback this sequence loses tracking right after init
+    ok = sum(1 for s in states if s in ("ok", "init-done"))
+    assert tracker.state == TrackState.OK, states
+    assert ok >= 8, states
