@@ -36,14 +36,82 @@ from orb_slam_fusion_tpu.io import ate_rmse  # noqa: E402
 GT_DIR = "/root/reference/evaluation/Ground_truth/EuRoC_left_cam"
 
 
-def load_euroc_gt(seq: str, stride: int = 10, max_frames: int = 200):
-    """GT file -> (positions (T,3), timestamps (T,)). stride=10 downsamples
-    the 200 Hz ground truth to 20 Hz frame rate."""
+def load_euroc_gt(seq: str, stride: int = 10, max_frames: int = 200,
+                  with_quats: bool = False):
+    """GT file -> (positions (T,3), timestamps (T,)[, quats (T,4) wxyz]).
+    The shipped left-cam GT is ~20 Hz; stride subsamples further."""
     path = os.path.join(GT_DIR, f"{seq}_GT.txt")
     rows = np.loadtxt(path, delimiter=",", comments="#")
     rows = rows[::stride][:max_frames]
     t = rows[:, 0] * 1e-9
+    if with_quats:
+        return rows[:, 1:4], t - t[0], rows[:, 4:8]
     return rows[:, 1:4], t - t[0]
+
+
+def run_sequence_stereo_imu(seq: str, n_frames: int) -> float:
+    """Stereo-inertial evaluation along the real GT trajectory — the
+    reference's headline configuration (tests/slam_euroc_si.cc). IMU is
+    synthesized integrator-consistently from the GT poses
+    (sim.vio_from_gt_trajectory); metric ATE (NO scale alignment)."""
+    from orb_slam_fusion_tpu.engine.vio_tracker import StereoVioTracker
+    from orb_slam_fusion_tpu.imu.preintegration import make_calib
+
+    # shipped GT is ~20 Hz: stride=1 keeps camera rate
+    positions, t, quats = load_euroc_gt(seq, stride=1, max_frames=10 ** 9,
+                                        with_quats=True)
+    # skip the stationary prelude (EuRoC MAVs sit on the ground first):
+    # start once the platform has moved 0.5 m from its initial pose
+    moved = np.linalg.norm(positions - positions[0], axis=1) > 0.5
+    first = int(np.argmax(moved)) if moved.any() else 0
+    positions = positions[first:first + n_frames]
+    quats = quats[first:first + n_frames]
+    t = t[first:first + n_frames]
+    vio = sim.vio_from_gt_trajectory(positions, quats, t, n_points=9000,
+                                     seed=1)
+    world = vio.world
+    baseline = 0.11
+    cfg = SlamConfig(
+        cam_params=(400.0, 400.0, 376.0, 240.0),
+        image_size=(480, 752),
+        orb=OrbParams(n_features=640),
+        max_keyframes=max(96, len(t)),
+        max_map_points=16384,
+        ba_window=6,
+        loop_closing=False,
+    )
+    tracker = StereoVioTracker(cfg, baseline, make_calib())
+    cam = jnp.asarray(cfg.cam_params)
+    t0 = time.time()
+    states = []
+    for k in range(len(t)):
+        fL, fR = sim.render_stereo_frame(
+            world, k, cam, cfg.image_size, cfg.orb.n_features, baseline,
+            seed=17, pixel_noise=0.4, desc_bit_flips=4, dropout=0.1)
+        if k == 0:
+            acc = np.zeros((0, 3), np.float32)
+            gyro = np.zeros((0, 3), np.float32)
+            tm = np.zeros(0)
+        else:
+            acc, gyro, tm = vio.frame_imu[k - 1]
+        states.append(tracker.process_stereo_imu(
+            fL, fR, float(world.timestamps[k]), acc, gyro, tm).state)
+    wall = time.time() - t0
+    traj = tracker.trajectory_tum()
+    gt = sim.gt_positions(world)
+    try:
+        start = states.index("init-done")
+    except ValueError:
+        print(f"{seq}: never initialized")
+        return float("nan")
+    ate = ate_rmse(traj[start:, 1:4], gt[start:len(traj)], with_scale=False)
+    ok = sum(1 for s in states if s in ("ok", "init-done"))
+    span = np.linalg.norm(positions.max(0) - positions.min(0))
+    print(f"{seq} [stereo-imu]: tracked {ok}/{len(t)}, metric ATE "
+          f"{ate*100:.2f} cm over {span:.1f} m span, "
+          f"{len(t)/wall:.1f} fps host-loop, kf={int(tracker.map.n_kf)} "
+          f"imu_init={getattr(tracker, 'imu_initialized', False)}")
+    return ate
 
 
 def run_sequence(seq: str, n_frames: int) -> float:
@@ -93,6 +161,11 @@ if __name__ == "__main__":
                     default=["MH01"],
                     help="e.g. MH01 MH02 V101 V201")
     ap.add_argument("--frames", type=int, default=150)
+    ap.add_argument("--mode", choices=["mono", "stereo-imu"],
+                    default="mono")
     args = ap.parse_args()
     for s in args.sequences:
-        run_sequence(s, args.frames)
+        if args.mode == "stereo-imu":
+            run_sequence_stereo_imu(s, args.frames)
+        else:
+            run_sequence(s, args.frames)

@@ -51,7 +51,7 @@ class StereoTracker(MonoTracker):
         if self.state in (TrackState.NO_IMAGES, TrackState.NOT_INITIALIZED):
             rec = self._stereo_initialize(featsL, timestamp)
             self.frame_id += 1
-            self.trajectory.append(rec)
+            self._append_record(rec)
             return rec
         return self.process_features(featsL, timestamp)
 
@@ -181,7 +181,7 @@ class RgbdTracker(StereoTracker):
         if self.state in (TrackState.NO_IMAGES, TrackState.NOT_INITIALIZED):
             rec = self._stereo_initialize(feats, timestamp)
             self.frame_id += 1
-            self.trajectory.append(rec)
+            self._append_record(rec)
             return rec
         return self.process_features(feats, timestamp)
 

@@ -97,6 +97,11 @@ class MonoTracker:
         self.frames_since_kf = 0
         self.frame_id = 0
         self.trajectory: list[FrameRecord] = []
+        # keyframe-relative trajectory bookkeeping (reference
+        # tracking.cc:1661-1678): each frame stores its pose RELATIVE to its
+        # reference keyframe, so exports pick up every later correction of
+        # the keyframes (gauge rotations at IMU init, loop closures, GBA)
+        self._traj_rel: list = []   # (timestamp, kf_id, T_rel or Tcw)
         # feature->map-point association for the current frame
         self._cur_obs = None
         self.loop_closer = None
@@ -120,6 +125,7 @@ class MonoTracker:
     def reset_map(self):
         """Archive the current map into the atlas and start a fresh one
         (reference: Tracking::CreateMapInAtlas, tracking.cc:1988)."""
+        self._freeze_trajectory()
         cfg = self.cfg
         if (self.enable_atlas and self.loop_closer is not None
                 and int(self.map.n_kf) >= 5):
@@ -182,8 +188,36 @@ class MonoTracker:
                 self.reset_map()
                 rec = self._try_initialize(feats, timestamp)
         self.frame_id += 1
-        self.trajectory.append(rec)
+        self._append_record(rec)
         return rec
+
+    def _append_record(self, rec: FrameRecord) -> None:
+        self.trajectory.append(rec)
+        kf = self.last_kf_id
+        if kf >= 0 and self.state == TrackState.OK:
+            T_kf = lie.SE3(self.map.kf_pose.R[kf], self.map.kf_pose.t[kf])
+            T_rel = lie.se3_compose(rec.pose, lie.se3_inverse(T_kf))
+            self._traj_rel.append((rec.timestamp, kf, T_rel))
+        else:
+            self._traj_rel.append((rec.timestamp, -1, rec.pose))
+
+    def _freeze_trajectory(self) -> None:
+        """Resolve keyframe-relative entries to absolute poses against the
+        CURRENT map (called before the map is replaced: reset / merge)."""
+        self._traj_rel = [
+            (ts, -1, self._resolve_pose(kf, T))
+            for ts, kf, T in self._traj_rel]
+
+    def _resolve_pose(self, kf: int, T) -> lie.SE3:
+        if kf < 0:
+            return T
+        T_kf = lie.SE3(self.map.kf_pose.R[kf], self.map.kf_pose.t[kf])
+        return lie.se3_compose(T, T_kf)
+
+    def resolved_poses(self):
+        """(timestamp, Tcw) per frame, with keyframe corrections applied."""
+        return [(ts, self._resolve_pose(kf, T))
+                for ts, kf, T in self._traj_rel]
 
     # -- initialization ----------------------------------------------------
 
@@ -562,6 +596,10 @@ class MonoTracker:
         # adopt the merged map
         arch = self.atlas.archived.pop(archive_idx)
         self.map = merged
+        # trajectory entries keep following their keyframes into the merged
+        # map (the current map's rows shifted by kf_off)
+        self._traj_rel = [(ts, kf + kf_off if kf >= 0 else kf, T)
+                          for ts, kf, T in self._traj_rel]
         self.last_kf_id = cur + kf_off
         # transform tracker pose into the old world
         C = -jnp.einsum("ji,j->i", pose_new.R, pose_new.t)
@@ -688,10 +726,10 @@ class MonoTracker:
         """(N, 8) array: timestamp, tx ty tz, qx qy qz qw (Twc convention,
         reference System::SaveTrajectoryTUM, system.cc:558)."""
         rows = []
-        for rec in self.trajectory:
-            Twc = lie.se3_inverse(rec.pose)
+        for ts, Tcw in self.resolved_poses():
+            Twc = lie.se3_inverse(Tcw)
             q = np.asarray(lie.quat_from_mat(Twc.R))  # (w,x,y,z)
             t = np.asarray(Twc.t)
-            rows.append([rec.timestamp, t[0], t[1], t[2],
+            rows.append([ts, t[0], t[1], t[2],
                          q[1], q[2], q[3], q[0]])
         return np.asarray(rows)

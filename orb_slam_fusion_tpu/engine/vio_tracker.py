@@ -445,7 +445,7 @@ class StereoVioTracker(InertialMixin, StereoTracker):
         if self.state in (TrackState.NO_IMAGES, TrackState.NOT_INITIALIZED):
             rec = self._stereo_initialize(feats, timestamp)
             self.frame_id += 1
-            self.trajectory.append(rec)
+            self._append_record(rec)
             return rec
         return self.process_features(feats, timestamp)
 

@@ -356,3 +356,117 @@ def render_fisheye_stereo_frame(world: SyntheticWorld, frame: int,
                       n_features, seed=seed + 1, pose_override=pose_r,
                       cam_model=cameras.KANNALA_BRANDT8, **kw)
     return fL, fR
+
+
+def vio_from_gt_trajectory(
+    positions: np.ndarray,        # (T, 3) at frame rate (e.g. EuRoC GT 20 Hz)
+    quats_wxyz: np.ndarray,       # (T, 4) body orientation R_wb as wxyz
+    timestamps: np.ndarray,       # (T,) seconds
+    imu_rate: float = 200.0,
+    n_points: int = 8000,
+    seed: int = 0,
+    gyro_noise: float = 0.0,
+    acc_noise: float = 0.0,
+    point_margin: float = 3.0,
+) -> VioSequence:
+    """Inertial sequence along a REAL ground-truth trajectory (e.g. the
+    EuRoC GT files shipped with the reference).
+
+    The 20 Hz GT is upsampled to IMU rate (cubic positions, slerp
+    orientations), then IMU measurements are synthesized EXACTLY consistent
+    with the preintegrator's Euler discretization: a_k solves
+    p_{k+1} = p_k + v_k dt + a_k dt^2/2 and w_k solves
+    R_{k+1} = R_k exp(w_k dt), so preintegration residuals vanish at ground
+    truth regardless of GT jitter. Camera frame = body frame (Tbc = I);
+    world gravity is -9.81 z (EuRoC GT frames are ~z-up).
+    """
+    from scipy.interpolate import CubicSpline
+
+    rng = np.random.RandomState(seed)
+    g_w = np.array([0.0, 0.0, -9.81])
+    t = np.asarray(timestamps, np.float64)
+    t = t - t[0]
+    fps = (len(t) - 1) / max(t[-1], 1e-9)
+    n_imu = int(round(imu_rate / fps))
+    dt = (t[-1] - t[0]) / ((len(t) - 1) * n_imu)
+    n_frames = len(t)
+    total = (n_frames - 1) * n_imu + 1
+    tt = np.arange(total) * dt
+
+    p_spline = CubicSpline(t, np.asarray(positions, np.float64), axis=0)
+    p_hi = p_spline(tt)
+
+    # slerp quaternions segment by segment (hemisphere-aligned)
+    q = np.asarray(quats_wxyz, np.float64)
+    for k in range(1, len(q)):
+        if np.dot(q[k], q[k - 1]) < 0:
+            q[k] = -q[k]
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    idx = np.clip(np.searchsorted(t, tt, side="right") - 1, 0, n_frames - 2)
+    u = (tt - t[idx]) / np.maximum(t[idx + 1] - t[idx], 1e-9)
+    q0, q1 = q[idx], q[idx + 1]
+    dotq = np.clip(np.sum(q0 * q1, axis=1, keepdims=True), -1.0, 1.0)
+    ang = np.arccos(dotq)
+    small = ang[:, 0] < 1e-6
+    w0 = np.where(small[:, None], 1 - u[:, None],
+                  np.sin((1 - u[:, None]) * ang) / np.maximum(np.sin(ang),
+                                                              1e-12))
+    w1 = np.where(small[:, None], u[:, None],
+                  np.sin(u[:, None] * ang) / np.maximum(np.sin(ang), 1e-12))
+    q_hi = q0 * w0 + q1 * w1
+    q_hi /= np.linalg.norm(q_hi, axis=1, keepdims=True)
+
+    def quat_to_mat(qv):
+        w, x, y, z = qv
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
+    R_hi = np.stack([quat_to_mat(qv) for qv in q_hi])   # R_wb
+
+    # exactly integrator-consistent IMU synthesis
+    v = (p_hi[1] - p_hi[0]) / dt
+    accs = np.zeros((total - 1, 3))
+    gyros = np.zeros((total - 1, 3))
+    vels_frame = []
+    Rs_cw, ts_cw = [], []
+    for k in range(total - 1):
+        if k % n_imu == 0:
+            Rs_cw.append(R_hi[k].T)
+            ts_cw.append(-R_hi[k].T @ p_hi[k])
+            vels_frame.append(v.copy())
+        a_w = 2.0 * (p_hi[k + 1] - p_hi[k] - v * dt) / (dt * dt)
+        dR = R_hi[k].T @ R_hi[k + 1]
+        w_b = np.asarray(lie.so3_log(jnp.asarray(dR))) / dt
+        accs[k] = R_hi[k].T @ (a_w - g_w) + rng.randn(3) * acc_noise
+        gyros[k] = w_b + rng.randn(3) * gyro_noise
+        v = v + a_w * dt
+    # final frame pose
+    Rs_cw.append(R_hi[-1].T)
+    ts_cw.append(-R_hi[-1].T @ p_hi[-1])
+    vels_frame.append(v.copy())
+
+    poses = lie.SE3(jnp.asarray(np.stack(Rs_cw), jnp.float32),
+                    jnp.asarray(np.stack(ts_cw), jnp.float32))
+    lo = p_hi.min(axis=0) - point_margin
+    hi = p_hi.max(axis=0) + point_margin
+    pts = rng.uniform(lo, hi, size=(n_points, 3)).astype(np.float32)
+    desc = rng.randint(0, 2 ** 32, size=(n_points, 8),
+                       dtype=np.uint64).astype(np.uint32)
+    world = SyntheticWorld(pts, desc, poses,
+                           (t[: n_frames]).astype(np.float64))
+
+    # frame_imu[f] covers (t[f], t[f+1]] — same convention as
+    # make_vio_sequence (drivers feed frame_imu[k-1] with frame k)
+    frame_imu = []
+    for f in range(n_frames):
+        sl = slice(f * n_imu, min((f + 1) * n_imu, total - 1))
+        t_meas = tt[sl.start:sl.stop] + dt
+        frame_imu.append((accs[sl].astype(np.float32),
+                          gyros[sl].astype(np.float32),
+                          t_meas.astype(np.float64)))
+    return VioSequence(world=world, frame_imu=frame_imu,
+                       vel=np.stack(vels_frame),
+                       gravity=g_w)

@@ -198,8 +198,8 @@ class System:
         save_euroc(path, self.tracker.trajectory_tum())
 
     def save_trajectory_kitti(self, path: str) -> None:
-        poses = [lie.se3_inverse(rec.pose)
-                 for rec in self.tracker.trajectory]
+        poses = [lie.se3_inverse(Tcw)
+                 for _, Tcw in self.tracker.resolved_poses()]
         save_kitti(path, poses)
 
     def save_keyframe_trajectory_tum(self, path: str) -> None:
@@ -299,6 +299,8 @@ class System:
     def load_atlas(self, path: str) -> None:
         vocab = self._vocab_words()
         m, extras = load_map(path, vocab)
+        # trajectory so far was relative to the outgoing map's keyframes
+        self.tracker._freeze_trajectory()
         self.tracker.map = m
         if "kf_uright" in extras and hasattr(self.tracker, "kf_uright"):
             self.tracker.kf_uright = extras["kf_uright"]
