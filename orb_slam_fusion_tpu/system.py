@@ -317,6 +317,34 @@ class System:
                     f"({int(m.n_kf)} KFs, {int(m.n_mp)} points)",
                     Verbose.NORMAL)
 
+    # -- instrumentation (reference REGISTER_TIMES, tracking.h:330-336) ----
+
+    def enable_timing(self) -> None:
+        """Per-stage wall-clock accounting (reference REGISTER_TIMES)."""
+        from .utils.timing import STAGES
+        STAGES.enable()
+
+    def save_timing_stats(self, path: str) -> None:
+        """Dump per-stage timing + LBA counters (reference f_track_stats /
+        f_track_times ofstreams)."""
+        from .utils.timing import STAGES
+        with open(path, "w") as f:
+            f.write(STAGES.report() + "\n")
+
+    def save_debug_data(self, path: str) -> None:
+        """Session state dump (reference System::SaveDebugData,
+        system.cc:1277 — IMU-init debugging aid)."""
+        t = self.tracker
+        with open(path, "w") as f:
+            f.write(self._crash_snapshot() + "\n")
+            f.write(f"trajectory_frames={len(t.trajectory)}\n")
+            if hasattr(t, "imu_initialized"):
+                f.write(f"imu_initialized={t.imu_initialized}\n")
+                f.write(f"bias_gyro={np.asarray(t.bias.gyro).tolist()}\n")
+                f.write(f"bias_acc={np.asarray(t.bias.acc).tolist()}\n")
+            from .utils.timing import STAGES
+            f.write(STAGES.report() + "\n")
+
     def _crash_snapshot(self) -> str:
         t = self.tracker
         return (f"sensor={self.sensor.value} state={t.state.name} "

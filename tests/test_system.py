@@ -165,3 +165,30 @@ def test_state_accessors(tmp_path):
     sys_.reset_active_map()
     assert sys_.get_tracking_state() == TrackState.NOT_INITIALIZED
     assert sys_.get_tracked_map_points().size == 0
+
+
+def test_timing_and_debug_dump(tmp_path):
+    """Reference REGISTER_TIMES / SaveDebugData role: timing stats and the
+    session debug dump are writable after tracking."""
+    import numpy as np
+    import jax.numpy as jnp
+    from orb_slam_fusion_tpu.system import Sensor, System
+    from orb_slam_fusion_tpu.utils.timing import STAGES
+
+    sys_ = System(sensor=Sensor.MONOCULAR)
+    sys_.enable_timing()
+    rng = np.random.RandomState(0)
+    img = rng.rand(480, 752).astype(np.float32) * 20
+    for _ in range(120):
+        y, x = rng.randint(20, 430), rng.randint(20, 700)
+        img[y:y+20, x:x+20] += rng.uniform(80, 200)
+    sys_.track_monocular(jnp.asarray(np.clip(img, 0, 255)), 0.0)
+    p1 = str(tmp_path / "timing.txt")
+    p2 = str(tmp_path / "debug.txt")
+    sys_.save_timing_stats(p1)
+    sys_.save_debug_data(p2)
+    assert "orb_extract" in open(p1).read()
+    text = open(p2).read()
+    assert "trajectory_frames=1" in text and "sensor=mono" in text
+    STAGES.disable()
+    STAGES.reset()
