@@ -70,10 +70,14 @@ def main():
         The carry (counters + pose) chains every frame to the next, so the
         whole scan must execute before the fetched result is available."""
         def body(carry, _):
-            mp_vis, mp_fnd, R, t = carry
+            mp_vis, mp_fnd, R, t, ext_c = carry
             prev = lie.SE3(R, t)
-            # tie extraction to the carry so it re-runs every frame
-            feats = extract_features(img + mp_vis[0] * 1e-20, params)
+            # tie extraction to ITS OWN carry so it re-runs every frame but
+            # does NOT wait on the previous frame's tracking — production
+            # has the same dependency shape (extraction is independent of
+            # tracking), which lets XLA overlap frame n+1's extraction with
+            # frame n's tracking stages
+            feats = extract_features(img + ext_c * 1e-20, params)
             out = fused_frame_update(
                 mp_pos=mp_pos, mp_desc=mp_desc,
                 mp_valid=jnp.ones(M, bool),
@@ -82,10 +86,12 @@ def main():
                 kp_uv=feats.uv, kp_desc=feats.desc, kp_valid=feats.valid,
                 kp_octave=feats.octave, inv_sigma2_table=inv_s2,
                 cam_params=cam, img_h=H, img_w=W, use_pallas=use_pallas)
-            return ((out.mp_visible, out.mp_found, out.pose.R, out.pose.t),
-                    out.counts)
+            ext_c = jnp.sum(feats.uv[0]) * 1e-20
+            return ((out.mp_visible, out.mp_found, out.pose.R, out.pose.t,
+                     ext_c), out.counts)
         carry, counts = jax.lax.scan(
-            body, (mp_visible, mp_found, R, t), None, length=k)
+            body, (mp_visible, mp_found, R, t, jnp.float32(0)), None,
+            length=k)
         return carry, counts
 
     z = jnp.zeros(M, jnp.int32)
