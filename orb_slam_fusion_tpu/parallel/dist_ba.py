@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import cameras, lie
 from ..solver import robust
+from ..solver.ba import inv3x3
 from ..solver.ba import BAProblem, _eval_factors
 
 
@@ -86,8 +87,13 @@ def _dist_lm_run(poses, points, prob: BAProblem, mesh: Mesh,
         gp_f = jnp.einsum("fik,f,fi->fk", Jp, w, r)
         gl_f = jnp.einsum("fik,f,fi->fk", Jl, w, r)
 
-        Hpp = jax.ops.segment_sum(Hpp_f, prob.kf_idx, num_segments=K)
-        gp = jax.ops.segment_sum(gp_f, prob.kf_idx, num_segments=K)
+        # one-hot contraction instead of segment_sum (TPU scatters
+        # serialize; this is a small (F, K) matmul)
+        P_f = (prob.kf_idx[:, None]
+               == jnp.arange(K, dtype=prob.kf_idx.dtype)[None, :]
+               ).astype(dtype)
+        Hpp = jnp.einsum("fk,fij->kij", P_f, Hpp_f)
+        gp = jnp.einsum("fk,fi->ki", P_f, gp_f)
 
         # --- landmark-sharded Schur assembly ---------------------------
         def schur_local(lm_idx, lm_val, fixed_pt):
@@ -104,22 +110,21 @@ def _dist_lm_run(poses, points, prob: BAProblem, mesh: Mesh,
             fix = fixed_pt[:, None, None]
             Hll_d = jnp.where(fix, jnp.broadcast_to(eye3, Hll_d.shape), Hll_d)
             gl = jnp.where(fixed_pt[:, None], 0.0, gl)
-            Hll_inv = jnp.where(fix, 0.0, jnp.linalg.inv(Hll_d))
+            Hll_inv = jnp.where(fix, 0.0, inv3x3(Hll_d))
 
             pose_of = prob.kf_idx[lm_idx]                  # (M/D,O)
             E = jnp.einsum("moik,mkl->moil", Wg, Hll_inv)
-            cross = jnp.einsum("moil,mpjl->mopij", E, Wg)
-            pair_mask = obs_mask[:, :, None] & obs_mask[:, None, :]
-            cross = jnp.where(pair_mask[..., None, None], cross, 0.0)
-            S_local = jnp.zeros((K, K, 6, 6), dtype=dtype)
-            rows = jnp.broadcast_to(pose_of[:, :, None], pair_mask.shape)
-            cols = jnp.broadcast_to(pose_of[:, None, :], pair_mask.shape)
-            S_local = S_local.at[rows, cols].add(-cross)
+            # pairwise cross terms contracted straight into (K,K) blocks
+            # via one-hot memberships (no scatter, no (M,O,O) blow-up)
+            Pm = ((pose_of[..., None]
+                   == jnp.arange(K, dtype=pose_of.dtype))
+                  & obs_mask[..., None]).astype(dtype)     # (M/D,O,K)
+            T1 = jnp.einsum("mok,moil->mkil", Pm, E)
+            T2 = jnp.einsum("mok,moil->mkil", Pm, Wg)
+            S_local = -jnp.einsum("mkil,mqjl->kqij", T1, T2)
             # g correction: sum_l W_l Hll_inv gl over owned landmarks
             corr = jnp.einsum("moik,mkl,ml->moi", Wg, Hll_inv, gl)
-            g_corr = jax.ops.segment_sum(
-                corr.reshape(-1, 6),
-                pose_of.reshape(-1), num_segments=K)
+            g_corr = jnp.einsum("mok,moi->ki", Pm, corr)
             # collective: sum partial S and g over the mesh
             S_sum = jax.lax.psum(S_local, "mp")
             g_sum = jax.lax.psum(g_corr, "mp")

@@ -9,11 +9,12 @@ LocalBundleAdjustment (src/solver/g2o_solver/optimizer.cc:56,1053 and
   landmarks, F reprojection factors, all padded; masks make entries inert.
 * One LM iteration is a single fused XLA program:
     1. residuals + analytic Jacobians for all F factors at once;
-    2. 6x6 / 3x3 Hessian blocks via `segment_sum`;
-    3. landmark elimination: per-landmark 3x3 inverse, then the reduced
-       camera system S is assembled by scattering per-landmark pairwise
-       (6x6) pose-block products — an einsum over the padded
-       observations-per-landmark axis (MXU work);
+    2. 6x6 / 3x3 Hessian blocks reduced WITHOUT scatters (TPU scatters
+       serialize): pose segments as a (F, K) one-hot contraction, landmark
+       segments via a gather over the per-landmark factor table;
+    3. landmark elimination: closed-form batched 3x3 inverses, then the
+       reduced camera system S assembled by contracting pairwise (6x6)
+       pose-block products through one-hot memberships (MXU work);
     4. dense Cholesky solve of S (K*6 x K*6) — local BA windows are 10-50
        poses so this is a tiny MXU matmul chain;
     5. batched back-substitution for landmark updates.
@@ -76,16 +77,47 @@ class BAProblem(NamedTuple):
     bf: jnp.ndarray = None           # () float32
 
 
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / determinant).
+
+    jnp.linalg.inv on a (M, 3, 3) batch lowers to a general LU path that is
+    ~300x slower on TPU than these nine cofactor products; the damped
+    landmark Hessians here are symmetric positive definite so the
+    determinant is safely bounded away from zero.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], axis=-1),
+        jnp.stack([A21, A22, A23], axis=-1),
+        jnp.stack([A31, A32, A33], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
 def build_landmark_groups(mp_idx: np.ndarray, num_points: int,
                           max_obs: Optional[int] = None,
                           valid: Optional[np.ndarray] = None
                           ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side: group factor rows by landmark, padded to a static width.
 
-    Returns (lm_factor_idx (M, O), lm_factor_valid (M, O)). Factors beyond
-    `max_obs` per landmark are dropped from the *Schur cross terms only* —
-    they still contribute to the block diagonals; to keep exactness choose
-    max_obs >= max observations per landmark (the default).
+    Returns (lm_factor_idx (M, O), lm_factor_valid (M, O)). Every landmark
+    reduction (block diagonals, Schur cross terms, back-substitution) runs
+    through this table, so factors beyond `max_obs` per landmark are dropped
+    entirely; keep max_obs >= max observations per landmark (the default)
+    for exactness.
     """
     from ..native_bridge import build_landmark_groups as _native_groups
 
@@ -280,10 +312,19 @@ def _lm_step(poses: lie.SE3, points: jnp.ndarray, lam: jnp.ndarray,
     gp_f = jnp.einsum("fik,f,fi->fk", Jp, w, r)       # (F,6)
     gl_f = jnp.einsum("fik,f,fi->fk", Jl, w, r)       # (F,3)
 
-    Hpp = jax.ops.segment_sum(Hpp_f, prob.kf_idx, num_segments=K)  # (K,6,6)
-    Hll = jax.ops.segment_sum(Hll_f, prob.mp_idx, num_segments=M)  # (M,3,3)
-    gp = jax.ops.segment_sum(gp_f, prob.kf_idx, num_segments=K)    # (K,6)
-    gl = jax.ops.segment_sum(gl_f, prob.mp_idx, num_segments=M)    # (M,3)
+    # Reductions WITHOUT scatters (TPU scatters serialize; everything below
+    # is gathers + one-hot contractions that map onto the MXU/VPU):
+    # pose segments via a (F, K) one-hot contraction, landmark segments via
+    # the per-landmark factor table (gather + masked sum over observations).
+    F = prob.kf_idx.shape[0]
+    P_f = (prob.kf_idx[:, None]
+           == jnp.arange(K, dtype=prob.kf_idx.dtype)[None, :]).astype(dtype)
+    Hpp = jnp.einsum("fk,fij->kij", P_f, Hpp_f)          # (K,6,6)
+    gp = jnp.einsum("fk,fi->ki", P_f, gp_f)              # (K,6)
+    fidx = jnp.clip(prob.lm_factor_idx, 0, F - 1)        # (M,O)
+    vmf = prob.lm_factor_valid.astype(dtype)             # (M,O)
+    Hll = jnp.einsum("mo,moij->mij", vmf, Hll_f[fidx])   # (M,3,3)
+    gl = jnp.einsum("mo,moi->mi", vmf, gl_f[fidx])       # (M,3)
 
     # Damping (multiplicative on diagonals) + fixed-point freezing.
     eye3 = jnp.eye(3, dtype=dtype)
@@ -293,43 +334,39 @@ def _lm_step(poses: lie.SE3, points: jnp.ndarray, lam: jnp.ndarray,
     fixl = prob.fixed_point[:, None, None]
     Hll_d = jnp.where(fixl, jnp.broadcast_to(eye3, Hll_d.shape), Hll_d)
     gl = jnp.where(prob.fixed_point[:, None], 0.0, gl)
-    Hll_inv = jnp.linalg.inv(Hll_d)  # (M,3,3) batched tiny inverses
+    Hll_inv = inv3x3(Hll_d)  # (M,3,3) closed-form batched inverses
     Hll_inv = jnp.where(fixl, 0.0, Hll_inv)  # fixed lms contribute nothing
 
     # --- Schur complement: S = Hpp - sum_l W_l Hll_l^-1 W_l^T -------------
-    O = prob.lm_factor_idx.shape[1]
-    Wg = Hpl_f[prob.lm_factor_idx]           # (M,O,6,3)
-    pose_of = prob.kf_idx[prob.lm_factor_idx]  # (M,O)
+    # Pairwise landmark cross terms contracted straight into (K, K) pose
+    # blocks through per-observation one-hot memberships — no (M,O,O) blow-
+    # up and no scatter-add.
+    Wg = Hpl_f[fidx]                           # (M,O,6,3)
+    pose_of = prob.kf_idx[fidx]                # (M,O)
     obs_mask = prob.lm_factor_valid
     Wg = jnp.where(obs_mask[..., None, None], Wg, 0.0)
 
-    E = jnp.einsum("moik,mkl->moil", Wg, Hll_inv)       # (M,O,6,3)
-    cross = jnp.einsum("moil,mpjl->mopij", E, Wg)       # (M,O,O,6,6)
-
-    rows = pose_of[:, :, None]  # (M,O,1)
-    cols = pose_of[:, None, :]  # (M,1,O)
-    pair_mask = (obs_mask[:, :, None] & obs_mask[:, None, :])
-    cross = jnp.where(pair_mask[..., None, None], cross, 0.0)
-    # Scatter into (K,K,6,6) then reshape to dense (K*6, K*6).
-    S_blocks = jnp.zeros((K, K, 6, 6), dtype=dtype)
-    S_blocks = S_blocks.at[
-        jnp.broadcast_to(rows, pair_mask.shape),
-        jnp.broadcast_to(cols, pair_mask.shape),
-    ].add(-cross)
-    S_blocks = S_blocks.at[jnp.arange(K), jnp.arange(K)].add(Hpp)
+    E = jnp.einsum("moik,mkl->moil", Wg, Hll_inv)        # (M,O,6,3)
+    Pm = ((pose_of[..., None] == jnp.arange(K, dtype=pose_of.dtype))
+          & obs_mask[..., None]).astype(dtype)           # (M,O,K)
+    T1 = jnp.einsum("mok,moil->mkil", Pm, E)             # (M,K,6,3)
+    T2 = jnp.einsum("mok,moil->mkil", Pm, Wg)            # (M,K,6,3)
+    eyeK = jnp.eye(K, dtype=dtype)
+    S_blocks = -jnp.einsum("mkil,mqjl->kqij", T1, T2)    # (K,K,6,6)
+    S_blocks = S_blocks + eyeK[:, :, None, None] * Hpp[:, None, :, :]
 
     # Reduced gradient: g_r = gp - sum_f Hpl_f Hll_inv[mp] gl[mp]
     corr = jnp.einsum("fik,fkl,fl->fi", Hpl_f, Hll_inv[prob.mp_idx],
                       gl[prob.mp_idx])
-    g_r = gp - jax.ops.segment_sum(corr, prob.kf_idx, num_segments=K)
+    g_r = gp - jnp.einsum("fk,fi->ki", P_f, corr)
 
     # Fixed poses: identity rows/cols, zero gradient.
     eye6 = jnp.eye(6, dtype=dtype)
     fp = prob.fixed_pose
     S_blocks = jnp.where(fp[:, None, None, None] | fp[None, :, None, None],
                          0.0, S_blocks)
-    S_blocks = S_blocks.at[jnp.arange(K), jnp.arange(K)].add(
-        jnp.where(fp[:, None, None], eye6, 0.0))
+    S_blocks = S_blocks + (eyeK[:, :, None, None]
+                           * jnp.where(fp[:, None, None], eye6, 0.0)[:, None])
     g_r = jnp.where(fp[:, None], 0.0, g_r)
 
     S = jnp.transpose(S_blocks, (0, 2, 1, 3)).reshape(K * 6, K * 6)
@@ -342,8 +379,8 @@ def _lm_step(poses: lie.SE3, points: jnp.ndarray, lam: jnp.ndarray,
     dx_p = jnp.where(fp[:, None], 0.0, dx_p)
 
     # Back-substitute landmarks: dx_l = Hll_inv (-gl - sum_f W^T dxp)
-    back = jnp.einsum("fki,fk->fi", Hpl_f, dx_p[prob.kf_idx])  # (F,3)
-    back = jax.ops.segment_sum(back, prob.mp_idx, num_segments=M)
+    back_f = jnp.einsum("fki,fk->fi", Hpl_f, dx_p[prob.kf_idx])  # (F,3)
+    back = jnp.einsum("mo,moi->mi", vmf, back_f[fidx])
     dx_l = jnp.einsum("mij,mj->mi", Hll_inv, -gl - back)
     dx_l = jnp.where(prob.fixed_point[:, None], 0.0, dx_l)
 

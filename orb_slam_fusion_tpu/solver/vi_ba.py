@@ -32,7 +32,7 @@ import numpy as np
 from .. import lie
 from ..imu.preintegration import GRAVITY, ImuBias, ImuCalib, Preintegrated
 from ..imu.factors import inertial_residual, inertial_residual_backward
-from .ba import BAProblem, _eval_factors
+from .ba import BAProblem, _eval_factors, inv3x3
 from .robust import huber_rho, huber_weight
 
 
@@ -169,35 +169,42 @@ def visual_inertial_ba(
         Hpl_f = jnp.einsum("fik,f,fil->fkl", Jp, w, Jl)
         gp_f = jnp.einsum("fik,f,fi->fk", Jp, w, r)
         gl_f = jnp.einsum("fik,f,fi->fk", Jl, w, r)
-        Hpp = jax.ops.segment_sum(Hpp_f, prob.kf_idx, num_segments=K)
-        Hll = jax.ops.segment_sum(Hll_f, prob.mp_idx, num_segments=M)
-        gp = jax.ops.segment_sum(gp_f, prob.kf_idx, num_segments=K)
-        gl = jax.ops.segment_sum(gl_f, prob.mp_idx, num_segments=M)
+        # scatter-free reductions (TPU scatters serialize): pose segments
+        # via a (F, K) one-hot contraction, landmark segments via the
+        # per-landmark factor table (gather + masked sum)
+        Fn = prob.kf_idx.shape[0]
+        P_f = (prob.kf_idx[:, None]
+               == jnp.arange(K, dtype=prob.kf_idx.dtype)[None, :]
+               ).astype(dtype)
+        fidx = jnp.clip(prob.lm_factor_idx, 0, Fn - 1)
+        vmf = prob.lm_factor_valid.astype(dtype)
+        Hpp = jnp.einsum("fk,fij->kij", P_f, Hpp_f)
+        Hll = jnp.einsum("mo,moij->mij", vmf, Hll_f[fidx])
+        gp = jnp.einsum("fk,fi->ki", P_f, gp_f)
+        gl = jnp.einsum("mo,moi->mi", vmf, gl_f[fidx])
 
         eye3 = jnp.eye(3, dtype=dtype)
         Hll_d = Hll + lam * Hll * eye3 + 1e-8 * eye3
         fixl = prob.fixed_point[:, None, None]
         Hll_d = jnp.where(fixl, jnp.broadcast_to(eye3, Hll_d.shape), Hll_d)
         gl = jnp.where(prob.fixed_point[:, None], 0.0, gl)
-        Hll_inv = jnp.where(fixl, 0.0, jnp.linalg.inv(Hll_d))
+        Hll_inv = jnp.where(fixl, 0.0, inv3x3(Hll_d))
 
-        O = prob.lm_factor_idx.shape[1]
-        Wg = Hpl_f[prob.lm_factor_idx]
-        pose_of = prob.kf_idx[prob.lm_factor_idx]
+        Wg = Hpl_f[fidx]
+        pose_of = prob.kf_idx[fidx]
         obs_mask = prob.lm_factor_valid
         Wg = jnp.where(obs_mask[..., None, None], Wg, 0.0)
         E = jnp.einsum("moik,mkl->moil", Wg, Hll_inv)
-        cross = jnp.einsum("moil,mpjl->mopij", E, Wg)
-        pair_mask = obs_mask[:, :, None] & obs_mask[:, None, :]
-        cross = jnp.where(pair_mask[..., None, None], cross, 0.0)
-        S_pose = jnp.zeros((K, K, 6, 6), dtype)
-        rows = jnp.broadcast_to(pose_of[:, :, None], pair_mask.shape)
-        cols = jnp.broadcast_to(pose_of[:, None, :], pair_mask.shape)
-        S_pose = S_pose.at[rows, cols].add(-cross)
-        S_pose = S_pose.at[jnp.arange(K), jnp.arange(K)].add(Hpp)
+        Pm = ((pose_of[..., None] == jnp.arange(K, dtype=pose_of.dtype))
+              & obs_mask[..., None]).astype(dtype)
+        T1 = jnp.einsum("mok,moil->mkil", Pm, E)
+        T2 = jnp.einsum("mok,moil->mkil", Pm, Wg)
+        eyeK = jnp.eye(K, dtype=dtype)
+        S_pose = -jnp.einsum("mkil,mqjl->kqij", T1, T2)
+        S_pose = S_pose + eyeK[:, :, None, None] * Hpp[:, None, :, :]
         corr = jnp.einsum("fik,fkl,fl->fi", Hpl_f, Hll_inv[prob.mp_idx],
                           gl[prob.mp_idx])
-        g_pose = gp - jax.ops.segment_sum(corr, prob.kf_idx, num_segments=K)
+        g_pose = gp - jnp.einsum("fk,fi->ki", P_f, corr)
 
         # ---- full (K*15) system: embed visual pose blocks --------------
         H = jnp.zeros((K, D, K, D), dtype)
@@ -307,8 +314,8 @@ def visual_inertial_ba(
         new_state = perturb(state, dx)
 
         # ---- landmark back-substitution --------------------------------
-        back = jnp.einsum("fki,fk->fi", Hpl_f, dx[prob.kf_idx, :6])
-        back = jax.ops.segment_sum(back, prob.mp_idx, num_segments=M)
+        back_f = jnp.einsum("fki,fk->fi", Hpl_f, dx[prob.kf_idx, :6])
+        back = jnp.einsum("mo,moi->mi", vmf, back_f[fidx])
         dx_l = jnp.einsum("mij,mj->mi", Hll_inv, -gl - back)
         dx_l = jnp.where(prob.fixed_point[:, None], 0.0, dx_l)
         return new_state, points + dx_l
