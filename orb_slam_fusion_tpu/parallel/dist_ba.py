@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import cameras, lie
 from ..solver import robust
 from ..solver.ba import inv3x3
-from ..solver.ba import BAProblem, _eval_factors
+from ..solver.ba import BAProblem, _eval_factors, _eval_residuals
 
 
 def make_slam_mesh(n_devices: int | None = None,
@@ -168,19 +168,18 @@ def _dist_lm_run(poses, points, prob: BAProblem, mesh: Mesh,
 
         return lie.se3_boxplus(poses, dx_p), points + dx_l
 
-    def body(carry, _):
-        poses, points, lam = carry
-        r, _, _, dok = _eval_factors(poses, points, prob, cam_model)
+    def cost_at(ps, pt):
+        r, fin = _eval_residuals(ps, pt, prob, cam_model)
         chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
-        act = prob.valid & dok
-        cost0 = jnp.sum(jnp.where(act, robust.huber_rho(chi2, chi2_th), 0.0))
+        act = prob.valid & fin
+        return jnp.sum(jnp.where(act, robust.huber_rho(chi2, chi2_th), 0.0))
 
+    def body(carry, _):
+        # carried cost + residual-only accept eval: one full-Jacobian
+        # evaluation per iteration instead of three
+        poses, points, lam, cost0 = carry
         cand_poses, cand_points = step(poses, points, lam)
-
-        r1, _, _, d1 = _eval_factors(cand_poses, cand_points, prob, cam_model)
-        chi21 = jnp.sum(r1 * r1, axis=-1) * prob.inv_sigma2
-        act1 = prob.valid & d1
-        cost1 = jnp.sum(jnp.where(act1, robust.huber_rho(chi21, chi2_th), 0.0))
+        cost1 = cost_at(cand_poses, cand_points)
         finite = (jnp.all(jnp.isfinite(cand_poses.t))
                   & jnp.all(jnp.isfinite(cand_points)) & jnp.isfinite(cost1))
         accept = (cost1 < cost0) & finite
@@ -189,10 +188,11 @@ def _dist_lm_run(poses, points, prob: BAProblem, mesh: Mesh,
         points = jnp.where(accept, cand_points, points)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
                         jnp.minimum(lam * 4.0, 1e6))
-        return (poses, points, lam), cost1
+        return (poses, points, lam, jnp.where(accept, cost1, cost0)), cost1
 
-    (poses, points, _), costs = jax.lax.scan(
-        body, (poses, points, jnp.asarray(1e-4, dtype)), None, length=iters)
+    (poses, points, _, _), costs = jax.lax.scan(
+        body, (poses, points, jnp.asarray(1e-4, dtype),
+               cost_at(poses, points)), None, length=iters)
     return poses, points, costs
 
 

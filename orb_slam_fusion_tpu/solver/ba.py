@@ -225,6 +225,29 @@ def make_window_problem(poses: lie.SE3, points, kf_idx, mp_idx, uv,
     )
 
 
+def _eval_residuals(poses: lie.SE3, points: jnp.ndarray, prob: BAProblem,
+                    cam_model: str):
+    """Residual-only factor evaluation (no Jacobians) for cost/accept tests
+    and chi2 classification — roughly half the work of _eval_factors."""
+    Rk = poses.R[prob.kf_idx]
+    tk = poses.t[prob.kf_idx]
+    Xw = points[prob.mp_idx]
+    pc = jnp.einsum("fij,fj->fi", Rk, Xw) + tk
+    pred = cameras.project(cam_model, prob.cam_params, pc)
+    r = pred - prob.uv
+    use_stereo = (prob.stereo_mask is not None
+                  and prob.stereo_mask.shape[0] == r.shape[0])
+    if use_stereo:
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        ur_pred = pred[..., 0] - prob.bf / z
+        r3 = jnp.where(prob.stereo_mask, ur_pred - prob.u_right, 0.0)
+        r = jnp.concatenate([r, r3[..., None]], axis=-1)
+    depth_ok = pc[..., 2] > 1e-4
+    finite = depth_ok & jnp.all(jnp.isfinite(r), axis=-1)
+    return jnp.where(finite[..., None], r, 0.0), finite
+
+
+
 def _eval_factors(poses: lie.SE3, points: jnp.ndarray, prob: BAProblem,
                   cam_model: str):
     """Residuals (F,R), J_pose (F,R,6), J_point (F,R,3), depth mask (F,).
@@ -397,19 +420,20 @@ def _lm_run(poses, points, inlier, prob: BAProblem, cam_model: str,
             iters: int, chi2_th: float, use_robust: bool):
     dtype = points.dtype
 
-    def body(carry, _):
-        poses, points, lam = carry
-        r, _, _, depth_ok = _eval_factors(poses, points, prob, cam_model)
-        active = prob.valid & inlier & depth_ok
-        th_f = _factor_chi2_th(prob, chi2_th)
-        cost0, _ = _robust_cost(r, prob.inv_sigma2, active, th_f)
+    th_f = _factor_chi2_th(prob, chi2_th)
 
+    def cost_at(ps, pt):
+        r, fin = _eval_residuals(ps, pt, prob, cam_model)
+        return _robust_cost(r, prob.inv_sigma2,
+                            prob.valid & inlier & fin, th_f)[0]
+
+    def body(carry, _):
+        # current cost carried from the previous accept test: ONE full
+        # Jacobian evaluation + ONE residual-only evaluation per iteration
+        poses, points, lam, cost0 = carry
         cand_poses, cand_points, _ = _lm_step(
             poses, points, lam, inlier, prob, cam_model, chi2_th, use_robust)
-
-        r1, _, _, d1 = _eval_factors(cand_poses, cand_points, prob, cam_model)
-        active1 = prob.valid & inlier & d1
-        cost1, _ = _robust_cost(r1, prob.inv_sigma2, active1, th_f)
+        cost1 = cost_at(cand_poses, cand_points)
 
         # NaN guard: a diverged solve (near-singular reduced system) must be
         # rejected even though its NaN factors fall out of the masked cost.
@@ -423,10 +447,12 @@ def _lm_run(poses, points, inlier, prob: BAProblem, cam_model: str,
         points = jnp.where(accept, cand_points, points)
         lam = jnp.where(accept, jnp.maximum(lam * (1.0 / 3.0), 1e-8),
                         jnp.minimum(lam * 4.0, 1e6))
-        return (poses, points, lam), cost1
+        cost = jnp.where(accept, cost1, cost0)
+        return (poses, points, lam, cost), cost1
 
-    (poses, points, _), costs = jax.lax.scan(
-        body, (poses, points, jnp.asarray(1e-4, dtype)), None, length=iters)
+    (poses, points, _, _), costs = jax.lax.scan(
+        body, (poses, points, jnp.asarray(1e-4, dtype),
+               cost_at(poses, points)), None, length=iters)
     return poses, points, costs
 
 
@@ -454,15 +480,15 @@ def bundle_adjustment(
         iters_first, chi2_th, True)
 
     th_f = _factor_chi2_th(prob, chi2_th)
-    r, _, _, depth_ok = _eval_factors(poses, points, prob, cam_model)
+    r, fin = _eval_residuals(poses, points, prob, cam_model)
     chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
-    inlier = (chi2 <= th_f) & depth_ok & prob.valid
+    inlier = (chi2 <= th_f) & fin & prob.valid
 
     poses, points, costs2 = _lm_run(
         poses, points, inlier, prob, cam_model,
         iters_second, chi2_th, False)
 
-    r, _, _, depth_ok = _eval_factors(poses, points, prob, cam_model)
+    r, fin = _eval_residuals(poses, points, prob, cam_model)
     chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
-    inlier = (chi2 <= th_f) & depth_ok & prob.valid
+    inlier = (chi2 <= th_f) & fin & prob.valid
     return poses, points, inlier, jnp.concatenate([costs1, costs2])

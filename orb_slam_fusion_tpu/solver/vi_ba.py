@@ -323,8 +323,9 @@ def visual_inertial_ba(
     inlier = jnp.ones_like(prob.valid)
 
     def body(carry, _):
-        state, points, lam = carry
-        c0 = total_cost(state, points, inlier)
+        # cost carried from the previous accept test: one fewer full cost
+        # evaluation per iteration
+        state, points, lam, c0 = carry
         cand_s, cand_p = lm_step(state, points, lam, inlier)
         c1 = total_cost(cand_s, cand_p, inlier)
         finite = (jnp.isfinite(c1) & jnp.all(jnp.isfinite(cand_s.poses.t))
@@ -335,10 +336,11 @@ def visual_inertial_ba(
         points = jnp.where(ok, cand_p, points)
         lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-8),
                         jnp.minimum(lam * 4.0, 1e6))
-        return (state, points, lam), c1
+        return (state, points, lam, jnp.where(ok, c1, c0)), c1
 
-    (state, points, _), costs = jax.lax.scan(
-        body, (state, prob.points, jnp.asarray(1e-4, dtype)),
+    (state, points, _, _), costs = jax.lax.scan(
+        body, (state, prob.points, jnp.asarray(1e-4, dtype),
+               total_cost(state, prob.points, inlier)),
         None, length=iters)
     return state, points, costs
 

@@ -126,8 +126,16 @@ class System:
     def track_monocular_features(self, feats, timestamp: float) -> FrameRecord:
         return self.tracker.process_features(feats, timestamp)
 
-    def track_monocular_imu(self, feats, timestamp, acc, gyro, t
+    def track_monocular_imu(self, img_or_feats, timestamp, acc, gyro, t
                             ) -> FrameRecord:
+        """Monocular frame + IMU batch (reference System::TrackMonocular
+        with vImuMeas). Accepts a raw image or pre-extracted Features."""
+        feats = img_or_feats
+        if hasattr(img_or_feats, "ndim") and img_or_feats.ndim >= 2:
+            from .frontend import extractor
+            feats = self.tracker._undistort(extractor.extract_features(
+                self._preprocess(jnp.asarray(img_or_feats)),
+                self.tracker.cfg.orb))
         return self.tracker.process_frame_imu(feats, timestamp, acc, gyro, t)
 
     def track_stereo(self, imgL, imgR, timestamp: float) -> FrameRecord:
