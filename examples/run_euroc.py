@@ -78,12 +78,10 @@ def main() -> int:
             if args.no_imu:
                 rec = system.track_monocular(imgL, fr.timestamp)
             else:
-                from orb_slam_fusion_tpu.frontend import extractor
-                feats = extractor.extract_features(
-                    system._preprocess(jnp.asarray(imgL)),
-                    system.tracker.cfg.orb)
+                # raw image: System extracts AND undistorts keypoints
+                # (EuRoC mono imagery carries radtan distortion)
                 rec = system.track_monocular_imu(
-                    feats, fr.timestamp, fr.imu_acc, fr.imu_gyro, fr.imu_t)
+                    imgL, fr.timestamp, fr.imu_acc, fr.imu_gyro, fr.imu_t)
         track_times.append(time.perf_counter() - t0)
         n += 1
         if n % 50 == 0:

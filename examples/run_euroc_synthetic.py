@@ -67,15 +67,21 @@ def run_sequence_stereo_imu(seq: str, n_frames: int) -> float:
     positions = positions[first:first + n_frames]
     quats = quats[first:first + n_frames]
     t = t[first:first + n_frames]
+    # honest protocol: noisy, biased IMU (round-1 EVAL used noise-free
+    # integrator-consistent IMU, which overstated fidelity)
     vio = sim.vio_from_gt_trajectory(positions, quats, t, n_points=9000,
-                                     seed=1)
+                                     seed=1, gyro_noise=1.7e-4,
+                                     acc_noise=2e-3, gyro_bias=0.002,
+                                     acc_bias=0.02)
     world = vio.world
     baseline = 0.11
     cfg = SlamConfig(
         cam_params=(400.0, 400.0, 376.0, 240.0),
         image_size=(480, 752),
         orb=OrbParams(n_features=640),
-        max_keyframes=max(96, len(t)),
+        # fixed initial capacities: full-length sequences exercise the
+        # compaction + doubling-growth machinery instead of pre-sizing
+        max_keyframes=256,
         max_map_points=16384,
         ba_window=6,
         loop_closing=False,
@@ -122,7 +128,7 @@ def run_sequence(seq: str, n_frames: int) -> float:
         cam_params=(400.0, 400.0, 376.0, 240.0),
         image_size=(480, 752),
         orb=OrbParams(n_features=640),
-        max_keyframes=max(96, len(t)),
+        max_keyframes=256,
         max_map_points=16384,
         ba_window=6,
         loop_closing=True,

@@ -63,3 +63,11 @@ class SlamConfig(NamedTuple):
     vocab_words: int = 4096
     vocab_path: str = ""   # optional DBoW2 tree vocabulary file (.txt/.bin);
     # empty -> seeded flat LSH codebook of vocab_words words
+    # verification thresholds (reference loopclosing.cc:303-813):
+    # candidates must recur over >=N consecutive keyframes, then pass a
+    # Sim3-guided projection count and a post-refinement recount. The match
+    # counts are the reference's values at its ~1000-feature budget and are
+    # scaled by n_features/1000 (clipped to [0.3, 1]) at runtime.
+    loop_consistency_th: int = 3
+    loop_proj_matches: int = 50
+    loop_proj_matches_ref: int = 80

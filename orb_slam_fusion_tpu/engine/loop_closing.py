@@ -40,14 +40,20 @@ def _detect_candidates(m: ms.MapState, bow, present, vocab, kf_id,
     """Loop-candidate detection as ONE device program: covisibility
     exclusion + temporal guard + BoW scoring + top-k (reference:
     DetectNBestCandidates with the covisibility-group exclusion,
-    keyframe_database.cc:579)."""
+    keyframe_database.cc:579). Also returns each candidate's covisibility
+    group mask (top_k, K) for the temporal-consistency check."""
     kf_c = jnp.clip(kf_id, 0, m.max_kf - 1)
     W = ms.covisibility_matrix(m)
     kfa = jnp.arange(m.max_kf)
     exclude = (W[kf_c] > 0) | ((kfa >= guard_lo) & (kfa <= kf_id))
     q = compute_bow_vector(vocab, m.kf_desc[kf_c], m.kf_feat_valid[kf_c],
                            levels)
-    return _query(bow, present, q, exclude, top_k)
+    ids, scores = _query(bow, present, q, exclude, top_k)
+    ids_c = jnp.clip(ids, 0, m.max_kf - 1)
+    groups = (W[ids_c] > 0) | (jax.nn.one_hot(
+        ids_c, m.max_kf, dtype=jnp.int32) > 0)
+    groups = groups & (ids >= 0)[:, None]
+    return ids, scores, groups
 
 
 def _make_vocabulary(cfg, vocab_words: int):
@@ -74,13 +80,52 @@ class LoopCloser:
         self.min_gap = 10           # KFs between loop closures
         self.min_kf = 12            # reference: map must have >=12 KFs
         self.num_closed = 0
-        self.max_kf_for_gba = 128   # GBA size gate (reference gates the
-        # essential graph at 200 KFs, loopclosing.cc:1097)
+        self.max_kf_for_gba = 200   # GBA size gate (reference skips the
+        # full essential graph for maps >200 KFs, loopclosing.cc:1097)
+        # temporal-consistency state (reference ConsistentGroup,
+        # loopclosing.cc:303-391): candidate covisibility groups must recur
+        # over >= loop_consistency_th consecutive keyframes
+        self._cons_groups: list = []   # [(frozenset(kf rows), count)]
+        self.consistency_th = getattr(cfg, "loop_consistency_th", 3)
+        # projection-validation thresholds, scaled from the reference's
+        # ~1000-feature budget to this config's
+        nf = cfg.orb.n_features
+        s = min(1.0, max(0.3, nf / 1000.0))
+        self.proj_th = max(15, int(getattr(cfg, "loop_proj_matches", 50) * s))
+        self.proj_ref_th = max(
+            20, int(getattr(cfg, "loop_proj_matches_ref", 80) * s))
+        # persisted loop edges (reference KeyFrame::mspLoopEdges,
+        # keyframe.h:237-243): every accepted closure's relative Sim3 enters
+        # all later essential-graph solves so repeated closures reinforce
+        self.loop_edges: list = []   # [(i, j, lie.Sim3 rel i->j)]
 
     # -- database maintenance (called by the tracker on KF insert) ---------
 
     def add_keyframe(self, kf_id: int, desc, valid) -> None:
         self.db.add(kf_id, desc, valid)
+
+    def on_kf_remap(self, old_to_new, order) -> None:
+        """Follow a keyframe-table compaction: permute BoW rows and remap
+        stored keyframe ids."""
+        self.db.permute(order)
+        if self.last_loop_kf >= 0:
+            n = int(old_to_new[self.last_loop_kf]) \
+                if self.last_loop_kf < len(old_to_new) else -1
+            self.last_loop_kf = n if n >= 0 else -10 ** 9
+        self._cons_groups = [
+            (frozenset(int(old_to_new[k]) for k in grp
+                       if k < len(old_to_new) and old_to_new[k] >= 0), cnt)
+            for grp, cnt in self._cons_groups]
+        self._cons_groups = [(g, c) for g, c in self._cons_groups if g]
+        edges = []
+        for i, j, rel in self.loop_edges:
+            if (i < len(old_to_new) and j < len(old_to_new)
+                    and old_to_new[i] >= 0 and old_to_new[j] >= 0):
+                edges.append((int(old_to_new[i]), int(old_to_new[j]), rel))
+        self.loop_edges = edges
+
+    def on_kf_grow(self, new_max_kf: int) -> None:
+        self.db.grow(new_max_kf)
 
     # -- detection + closure ------------------------------------------------
 
@@ -99,18 +144,36 @@ class LoopCloser:
 
         # fused detection: covisibility exclusion + temporal guard + BoW
         # scoring in one dispatch, one small sync
-        ids, scores = _detect_candidates(
+        ids, scores, groups = _detect_candidates(
             m, self.db.bow, self.db.present, self.db.vocab,
             jnp.int32(kf_id), jnp.int32(max(0, kf_id - 6)),
             levels=self.db.levels)
         ids = np.asarray(ids)
+        groups = np.asarray(groups)
 
-        for cand in ids:
+        # temporal consistency (reference loopclosing.cc:303-391): a
+        # candidate's covisibility group must intersect groups detected at
+        # >= consistency_th consecutive keyframes before verification runs
+        consistent = []
+        new_groups = []
+        for ci, cand in enumerate(ids):
             if cand < 0:
                 continue
-            if self._verify_and_correct(tracker, kf_id, int(cand)):
+            grp = frozenset(np.nonzero(groups[ci])[0].tolist())
+            best = 0
+            for prev_grp, cnt in self._cons_groups:
+                if grp & prev_grp:
+                    best = max(best, cnt)
+            new_groups.append((grp, best + 1))
+            if best + 1 >= self.consistency_th:
+                consistent.append(int(cand))
+        self._cons_groups = new_groups
+
+        for cand in consistent:
+            if self._verify_and_correct(tracker, kf_id, cand):
                 self.last_loop_kf = kf_id
                 self.num_closed += 1
+                self._cons_groups = []
                 return True
         return False
 
@@ -162,8 +225,105 @@ class LoopCloser:
         if int(n_in) < 20:
             return False
 
-        self._correct_loop(tracker, cur, cand, S_ref)
+        # staged Sim3-guided projection validation (reference
+        # loopclosing.cc:640-813: nProjMatches >= 50, refine, recount >= 80)
+        ok_proj, S_final = self._sim3_guided_validation(
+            tracker, cur, cand, S_ref, fix_scale)
+        if not ok_proj:
+            return False
+
+        self._correct_loop(tracker, cur, cand, S_final)
         return True
+
+    def _project_candidate_points(self, tracker, cur: int, rows, has,
+                                  x_cand, S: lie.Sim3, radius: float):
+        """Sim3-guided projection of candidate-side points into the current
+        keyframe (reference ORBmatcher::SearchByProjection Sim3 variants,
+        orb_matcher.cc:391/490). Returns (midx, mok) per candidate row."""
+        m = tracker.map
+        h, w = self.cfg.image_size
+        x_pred = lie.sim3_apply(S, x_cand)              # current camera
+        from .. import cameras
+        uv_pred = cameras.project(self.cfg.cam_model, tracker.cam_params,
+                                  x_pred)
+        vis = (has & (x_pred[..., 2] > 0.05)
+               & (uv_pred[..., 0] >= 0) & (uv_pred[..., 0] < w)
+               & (uv_pred[..., 1] >= 0) & (uv_pred[..., 1] < h))
+        d = jnp.linalg.norm(x_pred, axis=-1)
+        L = self.cfg.orb.num_levels
+        pred_oct = ms.predict_scale(
+            d, m.mp_max_dist[rows] * S.s, L)
+        return matcher.search_by_projection(
+            uv_pred, m.mp_desc[rows], vis, pred_oct,
+            m.kf_uv[cur], m.kf_desc[cur], m.kf_feat_valid[cur],
+            m.kf_octave[cur],
+            radius=radius * ms.SCALE_FACTOR ** pred_oct.astype(jnp.float32),
+            max_dist=matcher.TH_LOW, octave_window=2)
+
+    def _sim3_guided_validation(self, tracker, cur: int, cand: int,
+                                S: lie.Sim3, fix_scale: bool):
+        """Stage 2+3 of the reference's loop verification: project the
+        candidate neighbourhood's points through S into the current
+        keyframe, require >= proj_th matched features, refine the Sim3 on
+        the guided matches, re-project at the refined S and require
+        >= proj_ref_th (reference loopclosing.cc:640-813). Returns
+        (ok, refined S)."""
+        m = tracker.map
+        F = m.n_feat
+        n_kf = int(m.n_kf)
+        pose_cand = lie.SE3(m.kf_pose.R[cand], m.kf_pose.t[cand])
+        pose_cur = lie.SE3(m.kf_pose.R[cur], m.kf_pose.t[cur])
+
+        # candidate-side point set: the candidate and its temporal
+        # neighbours (stand-in for the covisible window of loopclosing.cc)
+        nbrs = [k for k in (cand - 1, cand, cand + 1) if 0 <= k < n_kf]
+        obs_exp = jnp.concatenate([m.kf_obs_mp[k] for k in nbrs])
+        rows = jnp.clip(obs_exp, 0, m.max_mp - 1)
+        has = (obs_exp >= 0) & m.mp_valid[rows]
+        x_cand = lie.se3_apply(pose_cand, m.mp_pos[rows])
+
+        midx, mok = self._project_candidate_points(
+            tracker, cur, rows, has, x_cand, S, radius=8.0)
+        # count UNIQUE matched current-KF features
+        hit = jnp.zeros(F + 1, bool).at[
+            jnp.where(mok, jnp.clip(midx, 0, F - 1), F)].set(
+            True, mode="drop")
+        n_proj = int(jnp.sum(hit[:F]))
+        if n_proj < self.proj_th:
+            return False, S
+
+        # refine on the guided matches of the candidate row itself (both
+        # endpoints carry 3D there: x1 = cand-camera point, x2 = the point
+        # bound to the matched current feature)
+        obs_c = m.kf_obs_mp[cand]
+        rows_c = jnp.clip(obs_c, 0, m.max_mp - 1)
+        has_c = (obs_c >= 0) & m.mp_valid[rows_c]
+        x1 = lie.se3_apply(pose_cand, m.mp_pos[rows_c])
+        midx_c, mok_c = self._project_candidate_points(
+            tracker, cur, rows_c, has_c, x1, S, radius=8.0)
+        f_idx = jnp.clip(midx_c, 0, F - 1)
+        cur_obs = m.kf_obs_mp[cur][f_idx]
+        both = mok_c & has_c & (cur_obs >= 0) \
+            & m.mp_valid[jnp.clip(cur_obs, 0, m.max_mp - 1)]
+        x2 = lie.se3_apply(pose_cur,
+                           m.mp_pos[jnp.clip(cur_obs, 0, m.max_mp - 1)])
+        uv1 = m.kf_uv[cand]
+        uv2 = m.kf_uv[cur][f_idx]
+        S2, _, _ = optimize_sim3(
+            S, x1, x2, both, uv1, uv2, jnp.ones(F), jnp.ones(F),
+            tracker.cam_params, fix_scale=fix_scale,
+            cam_model=self.cfg.cam_model)
+
+        # recount at the refined transform with a tighter window
+        midx2, mok2 = self._project_candidate_points(
+            tracker, cur, rows, has, x_cand, S2, radius=5.0)
+        hit2 = jnp.zeros(F + 1, bool).at[
+            jnp.where(mok2, jnp.clip(midx2, 0, F - 1), F)].set(
+            True, mode="drop")
+        n_ref = int(jnp.sum(hit2[:F]))
+        if n_ref < self.proj_ref_th:
+            return False, S
+        return True, S2
 
     # -- correction ---------------------------------------------------------
 
@@ -203,12 +363,22 @@ class LoopCloser:
             rels.append(lie.sim3_compose(sim_of(int(j)),
                                          lie.sim3_inverse(sim_of(int(i)))))
             weights.append(1.0)
+        # previously accepted loop edges re-enter every later solve
+        # (reference: mspLoopEdges feed OptimizeEssentialGraph,
+        # keyframe.h:237-243, optimizer.cc:1443+)
+        for (pi, pj, prel) in self.loop_edges:
+            if pi < K and pj < K:
+                edge_i.append(pi)
+                edge_j.append(pj)
+                rels.append(prel)
+                weights.append(float(K))
         # the measured loop edge: S_cur_corr = S * S_cand, so
         # rel(cand -> cur) = S_cur S_cand^-1 |_measured = S_cand_to_cur
         edge_i.append(cand)
         edge_j.append(cur)
         rels.append(S_cand_to_cur)
         weights.append(float(len(edge_i)))  # strong anchor weight
+        self.loop_edges.append((cand, cur, S_cand_to_cur))
 
         rel_b = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *rels)
         fixed = np.zeros(K, bool)
@@ -256,6 +426,7 @@ class LoopCloser:
         # keep tracker state consistent with the rewritten map
         tracker.cur_pose = lie.SE3(kf_R[cur], kf_t[cur])
         tracker.velocity = lie.se3_identity()
+        tracker._reset_prior()
 
         # ---- fuse: project loop-side points into the current KF and
         # merge duplicate observations (simplified SearchAndFuse,
@@ -321,16 +492,24 @@ class LoopCloser:
         # project candidate-side points into the corrected current KF
         from .tracker import _project_map_points
         h, w = self.cfg.image_size
-        uv_pred, vis, _ = _project_map_points(
+        uv_pred, vis, depth = _project_map_points(
             m.mp_pos[cand_mp], cand_has & m.mp_valid[cand_mp], pose_cur,
             tracker.cam_params, self.cfg.cam_model, h, w)
 
+        # predicted-level gate + level-scaled radius (reference
+        # SearchAndFuse -> ORBmatcher::Fuse, orb_matcher.cc:1042)
+        C_cur = -jnp.einsum("ji,j->i", pose_cur.R, pose_cur.t)
+        d_cur = jnp.linalg.norm(m.mp_pos[cand_mp] - C_cur[None, :], axis=-1)
+        num_levels = self.cfg.orb.num_levels
+        pred_oct = ms.predict_scale(d_cur, m.mp_max_dist[cand_mp],
+                                    num_levels)
         midx, mok = matcher.search_by_projection(
             uv_pred, m.mp_desc[cand_mp], vis,
-            jnp.zeros(F, jnp.int32),
+            pred_oct,
             m.kf_uv[cur], m.kf_desc[cur], m.kf_feat_valid[cur],
-            m.kf_octave[cur], radius=8.0,
-            max_dist=matcher.TH_LOW, octave_window=16)
+            m.kf_octave[cur],
+            radius=8.0 * ms.SCALE_FACTOR ** pred_oct.astype(jnp.float32),
+            max_dist=matcher.TH_LOW, octave_window=1)
 
         # current-KF features matched to a loop point: rebind observation,
         # and invalidate the now-duplicate current-side point

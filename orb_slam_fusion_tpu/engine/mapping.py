@@ -67,7 +67,7 @@ class MappingResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cam_model", "img_h", "img_w", "n_prev",
-                     "culling_found_ratio", "far_threshold"),
+                     "culling_found_ratio", "far_threshold", "num_levels"),
 )
 def mapping_step(
     m: ms.MapState,
@@ -86,6 +86,7 @@ def mapping_step(
     n_prev: int = 3,
     culling_found_ratio: float = 0.25,
     far_threshold: float = 0.0,
+    num_levels: int = 8,
 ) -> MappingResult:
     """Insert a keyframe and do all per-keyframe mapping work on device."""
     F = kp_uv.shape[0]
@@ -126,10 +127,13 @@ def mapping_step(
         good = good & prev_ok
 
         normals = X_w - cam_center
-        normals = normals / jnp.maximum(
-            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
+        dist_new = jnp.linalg.norm(normals, axis=-1)
+        normals = normals / jnp.maximum(dist_new[:, None], 1e-9)
+        min_d, max_d = ms.scale_invariance_band(
+            dist_new, kp_octave[pidx_c], num_levels)
         m, new_ids = ms.add_map_points(
-            m, X_w, kp_desc[pidx_c], normals, kf_c, kf_c, good)
+            m, X_w, kp_desc[pidx_c], normals, kf_c, kf_c, good,
+            min_dist=min_d, max_dist=max_d)
 
         # register observations in both keyframes (out-of-bounds drop for
         # masked rows avoids duplicate-scatter hazards)
@@ -156,10 +160,17 @@ def mapping_step(
     vis = (m.mp_valid & (pc[..., 2] > 0.05)
            & (uv_pred[..., 0] >= 0) & (uv_pred[..., 0] < img_w)
            & (uv_pred[..., 1] >= 0) & (uv_pred[..., 1] < img_h))
+    # scale gates (reference Fuse, orb_matcher.cc:1042: distance band,
+    # view angle, predicted-level window, level-scaled radius)
+    dist_all = jnp.linalg.norm(pc, axis=-1)
+    vis = vis & (dist_all >= 0.8 * m.mp_min_dist) \
+        & (dist_all <= 1.2 * m.mp_max_dist)
+    pred_oct = ms.predict_scale(dist_all, m.mp_max_dist, num_levels)
     midx, mok = matcher.search_by_projection(
-        uv_pred, m.mp_desc, vis, jnp.zeros(m.max_mp, jnp.int32),
-        kp_uv, kp_desc, kp_valid, kp_octave, radius=4.0,
-        max_dist=matcher.TH_LOW, octave_window=16)
+        uv_pred, m.mp_desc, vis, pred_oct,
+        kp_uv, kp_desc, kp_valid, kp_octave,
+        radius=4.0 * ms.SCALE_FACTOR ** pred_oct.astype(jnp.float32),
+        max_dist=matcher.TH_LOW, octave_window=1)
     midx_c = jnp.clip(midx, 0, F - 1)
     bound = cur_obs[midx_c]
     mp_rows = jnp.arange(m.max_mp, dtype=jnp.int32)
@@ -179,6 +190,39 @@ def mapping_step(
     ratio = m.mp_found / jnp.maximum(m.mp_visible, 1)
     bad = (m.mp_visible >= 8) & (ratio < culling_found_ratio)
     m = m._replace(mp_valid=m.mp_valid & ~bad)
+
+    # ---- 5. normal + scale-band refresh (MapPoint::UpdateNormalAndDepth,
+    # mappoint.cc): the mean unit viewing direction over ALL observing
+    # keyframes, computed for the whole map as two matmuls over the
+    # membership matrix — sum_k w_km (x_m - C_k) with w = memb / dist ------
+    memb = ms.observation_mask(m).astype(jnp.float32)          # (K, Mmp)
+    C_all = -jnp.einsum("kji,kj->ki", m.kf_pose.R, m.kf_pose.t)  # (K, 3)
+    x2 = jnp.sum(m.mp_pos ** 2, axis=-1)[None, :]
+    c2 = jnp.sum(C_all ** 2, axis=-1)[:, None]
+    xc = jnp.einsum("ki,mi->km", C_all, m.mp_pos,
+                    preferred_element_type=jnp.float32)
+    d_km = jnp.sqrt(jnp.maximum(x2 + c2 - 2.0 * xc, 1e-12))
+    w_km = memb / d_km
+    cnt = jnp.sum(memb, axis=0)                                 # (Mmp,)
+    sum_w = jnp.sum(w_km, axis=0)
+    dir_sum = m.mp_pos * sum_w[:, None] - jnp.einsum(
+        "km,ki->mi", w_km, C_all, preferred_element_type=jnp.float32)
+    nn = jnp.linalg.norm(dir_sum, axis=-1, keepdims=True)
+    new_normal = jnp.where((cnt > 0)[:, None],
+                           dir_sum / jnp.maximum(nn, 1e-9), m.mp_normal)
+    # scale band refreshed from the NEW keyframe's observations (freshest
+    # octave evidence; the reference refreshes whenever observations change)
+    obs_cur = m.kf_obs_mp[kf_c]
+    rows = jnp.clip(obs_cur, 0, m.max_mp - 1)
+    d_f = jnp.linalg.norm(m.mp_pos[rows] - cam_center[None, :], axis=-1)
+    min_f, max_f = ms.scale_invariance_band(d_f, kp_octave, num_levels)
+    write_band = (obs_cur >= 0) & kp_valid & kf_ok
+    from ..utils import masked_set
+    m = m._replace(
+        mp_normal=new_normal,
+        mp_min_dist=masked_set(m.mp_min_dist, rows, min_f, write_band),
+        mp_max_dist=masked_set(m.mp_max_dist, rows, max_f, write_band),
+    )
 
     n_tracked = jnp.sum((m.kf_obs_mp[kf_c] >= 0).astype(jnp.int32))
     return MappingResult(

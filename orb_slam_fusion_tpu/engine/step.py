@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from .. import cameras, lie
 from ..frontend import matcher
+from ..map.map_state import SCALE_FACTOR, predict_scale
 from ..solver import pose_opt
 
 
@@ -137,7 +138,7 @@ class FrameUpdate(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cam_model", "img_h", "img_w", "min_matches",
-                     "use_pallas", "far_threshold"),
+                     "use_pallas", "far_threshold", "num_levels"),
     donate_argnames=("mp_visible", "mp_found"),
 )
 def fused_frame_update(
@@ -154,6 +155,9 @@ def fused_frame_update(
     kp_octave: jnp.ndarray,     # (F,)
     inv_sigma2_table: jnp.ndarray,  # (L,) per-octave information
     cam_params: jnp.ndarray,
+    mp_normal: jnp.ndarray | None = None,    # (M, 3) mean viewing direction
+    mp_min_dist: jnp.ndarray | None = None,  # (M,) scale-invariance band
+    mp_max_dist: jnp.ndarray | None = None,  # (M,)
     cam_model: str = cameras.PINHOLE,
     img_h: int = 480,
     img_w: int = 752,
@@ -162,6 +166,7 @@ def fused_frame_update(
     min_matches: int = 20,
     use_pallas: bool = False,
     far_threshold: float = 0.0,
+    num_levels: int = 8,
 ) -> FrameUpdate:
     """One tracked frame as ONE device program (zero host round-trips).
 
@@ -172,9 +177,16 @@ def fused_frame_update(
     materializes the (M, F) distance matrix in HBM; the XLA fallback
     computes the Hamming matrix once and shares it across the coarse /
     widened / fine stages (only the spatial masks differ).
+
+    With mp_normal/mp_min_dist/mp_max_dist the full Frame::isInFrustum gate
+    set runs per point (reference frame.cc): distance inside
+    [0.8 min, 1.2 max], viewing angle within 60 deg of the mean normal, and
+    the PredictScale octave window |kp_octave - predicted| <= 1 with the
+    search radius scaled by the predicted level (orb_matcher.cc:42+).
     """
     F = kp_uv.shape[0]
     M = mp_pos.shape[0]
+    scale_gates = mp_min_dist is not None
     inv_s2 = inv_sigma2_table[
         jnp.clip(kp_octave, 0, inv_sigma2_table.shape[0] - 1)]
     if not use_pallas:
@@ -190,19 +202,39 @@ def fused_frame_update(
             # System.thFarPoints: skip far map points in projection search
             # (reference orb_matcher.cc:54, system.cc:217)
             vis = vis & (pc[..., 2] < far_threshold)
-        return uv, vis
+        if not scale_gates:
+            return uv, vis, None
+        # Frame::isInFrustum distance + view-angle gates and PredictScale
+        d = jnp.linalg.norm(pc, axis=-1)
+        vis = vis & (d >= 0.8 * mp_min_dist) & (d <= 1.2 * mp_max_dist)
+        # viewing direction in world: R_cw^T x_c
+        vdir = jnp.einsum("ji,mj->mi", pose.R, pc)
+        cosv = jnp.sum(vdir * mp_normal, axis=-1) / jnp.maximum(d, 1e-9)
+        vis = vis & (cosv > 0.5)
+        pred_oct = predict_scale(d, mp_max_dist, num_levels)
+        return uv, vis, pred_oct
 
-    def match_at(uv_pred, vis, radius):
+    def match_at(uv_pred, vis, radius, pred_oct):
+        if scale_gates:
+            # search radius scales with the predicted level (reference
+            # orb_matcher.cc: th * scaleFactor[nPredictedLevel])
+            r_pt = radius * SCALE_FACTOR ** pred_oct.astype(jnp.float32)
+        else:
+            r_pt = jnp.full((M,), radius, jnp.float32)
         if use_pallas:
             from ..frontend.pallas_match import masked_match_pallas
             idx, best, second = masked_match_pallas(
-                uv_pred, mp_desc, vis,
-                jnp.full((M,), radius, jnp.float32),
-                kp_uv, kp_desc, kp_valid)
+                uv_pred, mp_desc, vis, r_pt, kp_uv, kp_desc, kp_valid,
+                mp_octave=pred_oct if scale_gates else None,
+                kp_octave=kp_octave if scale_gates else None)
         else:
             d2 = jnp.sum((uv_pred[:, None, :] - kp_uv[None, :, :]) ** 2,
                          axis=-1)
-            mask = (d2 <= radius * radius) & vis[:, None] & kp_valid[None, :]
+            mask = (d2 <= (r_pt[:, None] ** 2)) & vis[:, None] \
+                & kp_valid[None, :]
+            if scale_gates:
+                mask = mask & (jnp.abs(pred_oct[:, None] - kp_octave[None, :])
+                               <= 1)
             idx, best, second = matcher.masked_min2(dist, mask)
         ok = ((best <= matcher.TH_HIGH)
               & (best.astype(jnp.float32)
@@ -210,12 +242,12 @@ def fused_frame_update(
         return jnp.where(ok, idx, -1).astype(jnp.int32), ok
 
     # ---- stage 1: coarse match at the prediction, widened retry on famine
-    uv1, vis1 = project(pred_pose)
-    midx0, mok0 = match_at(uv1, vis1, radius_coarse)
+    uv1, vis1, oct1 = project(pred_pose)
+    midx0, mok0 = match_at(uv1, vis1, radius_coarse, oct1)
     n1 = jnp.sum(mok0.astype(jnp.int32))
     midx, mok = jax.lax.cond(
         n1 < min_matches,
-        lambda: match_at(uv1, vis1, 2.0 * radius_coarse),
+        lambda: match_at(uv1, vis1, 2.0 * radius_coarse, oct1),
         lambda: (midx0, mok0))
     n_match = jnp.sum(mok.astype(jnp.int32))
 
@@ -237,8 +269,8 @@ def fused_frame_update(
         cam_params, cam_model=cam_model, rounds=1, iters_per_round=6)
 
     # ---- stage 2: fine re-match at the refined pose, anchored re-solve
-    uv2, vis2 = project(pose1)
-    midx, mok = match_at(uv2, vis2, radius_fine)
+    uv2, vis2, oct2 = project(pose1)
+    midx, mok = match_at(uv2, vis2, radius_fine, oct2)
     mp_of_kp = invert(midx, mok)
     sel = jnp.clip(mp_of_kp, 0, M - 1)
     pose2, kp_inlier, n_in = pose_opt.pose_optimization(

@@ -79,11 +79,15 @@ class StereoTracker(MonoTracker):
         pose0 = lie.se3_identity()
         X_w = X_c  # world = first camera
 
-        normals = -X_w / jnp.maximum(
-            jnp.linalg.norm(X_w, axis=-1, keepdims=True), 1e-9)
+        dist = jnp.linalg.norm(X_w, axis=-1)
+        # camera->point direction (camera at the origin in the bootstrap)
+        normals = X_w / jnp.maximum(dist[:, None], 1e-9)
+        min_d, max_d = ms.scale_invariance_band(
+            dist, feats.octave, cfg.orb.num_levels)
         self.map, mp_ids = ms.add_map_points(
             self.map, X_w, feats.desc, normals,
-            jnp.int32(0), jnp.int32(0), good)
+            jnp.int32(0), jnp.int32(0), good,
+            min_dist=min_d, max_dist=max_d)
         self.map, kf0 = ms.add_keyframe(
             self.map, pose0, timestamp, feats.uv, feats.desc,
             feats.octave, feats.valid, mp_ids)
@@ -101,6 +105,34 @@ class StereoTracker(MonoTracker):
             self.loop_closer.add_keyframe(0, feats.desc, feats.valid)
         return FrameRecord(timestamp, pose0, self.last_kf_tracked,
                            "init-done")
+
+    # -- capacity hooks ------------------------------------------------------
+
+    def _on_kf_remap(self, old_to_new, order):
+        super()._on_kf_remap(old_to_new, order)
+        self.kf_uright = self.kf_uright[jnp.asarray(order)]
+
+    def _on_kf_grow(self, new_max_kf: int):
+        super()._on_kf_grow(new_max_kf)
+        K, F = self.kf_uright.shape
+        if new_max_kf > K:
+            self.kf_uright = jnp.concatenate(
+                [self.kf_uright,
+                 jnp.full((new_max_kf - K, F), -1.0, jnp.float32)], axis=0)
+
+    def _on_maps_merged(self, arch, kf_off: int, S_new_to_old):
+        """Shift the stereo right-u rows to the welded index space; the
+        archived map's rows fall back to mono observations (-1) — the
+        archive does not keep u_right, and the stereo residual mask degrades
+        gracefully to mono reprojection for those keyframes."""
+        super()._on_maps_merged(arch, kf_off, S_new_to_old)
+        K = self.map.max_kf
+        F = self.kf_uright.shape[1]
+        n_new = int(self.map.n_kf) - kf_off
+        merged = jnp.full((K, F), -1.0, jnp.float32)
+        merged = merged.at[kf_off:kf_off + n_new].set(
+            self.kf_uright[:n_new])
+        self.kf_uright = merged
 
     # -- keyframe insertion ------------------------------------------------
 
@@ -122,13 +154,16 @@ class StereoTracker(MonoTracker):
             X_c = rays * z[:, None]
             Twc = lie.se3_inverse(self.cur_pose)
             X_w = lie.se3_apply(Twc, X_c)
+            dist = jnp.linalg.norm(X_c, axis=-1)
             normals = X_w - Twc.t
             normals = normals / jnp.maximum(
                 jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
+            min_d, max_d = ms.scale_invariance_band(
+                dist, feats.octave, cfg.orb.num_levels)
             self.map, new_ids = ms.add_map_points(
                 self.map, X_w, feats.desc, normals,
                 jnp.int32(kf_id_expected), jnp.int32(kf_id_expected),
-                new_mask)
+                new_mask, min_dist=min_d, max_dist=max_d)
             obs = jnp.where(new_ids >= 0, new_ids, obs)
 
         super()._insert_keyframe(feats, timestamp, obs)

@@ -130,7 +130,8 @@ class MonoTracker:
         if (self.enable_atlas and self.loop_closer is not None
                 and int(self.map.n_kf) >= 5):
             self.atlas.archive(self.map, self.loop_closer.db.bow,
-                               self.loop_closer.db.present)
+                               self.loop_closer.db.present,
+                               inertial=self._inertial_archive_snapshot())
         self.map = ms.make_empty_map(
             cfg.max_keyframes, cfg.max_map_points, cfg.orb.n_features)
         self.state = TrackState.NOT_INITIALIZED
@@ -275,11 +276,16 @@ class MonoTracker:
         # map points from inlier matches; world frame = ref frame
         pos = jnp.asarray(X1)
         valid_new = jnp.asarray(inl)
-        normals = -pos / jnp.maximum(
-            jnp.linalg.norm(pos, axis=-1, keepdims=True), 1e-9)
+        dist = jnp.linalg.norm(pos, axis=-1)
+        # camera->point direction (reference MapPoint::UpdateNormalAndDepth:
+        # mNormalVector = mean of (pos - camera_center)); ref camera at origin
+        normals = pos / jnp.maximum(dist[:, None], 1e-9)
+        min_d, max_d = ms.scale_invariance_band(
+            dist, self.ref_feats.octave, cfg.orb.num_levels)
         self.map, mp_ids = ms.add_map_points(
             self.map, pos, self.ref_feats.desc, normals,
-            jnp.int32(0), jnp.int32(0), valid_new)
+            jnp.int32(0), jnp.int32(0), valid_new,
+            min_dist=min_d, max_dist=max_d)
 
         # keyframe 0: feature f of ref observes mp_ids[f]
         obs0 = mp_ids
@@ -323,47 +329,60 @@ class MonoTracker:
         h, w = cfg.image_size
         pred_pose = lie.se3_compose(self.velocity, self.cur_pose)
 
+        # fused_frame_update donates the counter buffers; pass copies so the
+        # rare reference-KF fallback can restart from the PRE-frame counters
+        # (the reference's TrackReferenceKeyFrame replaces, not adds)
+        vis_snap, fnd_snap = self.map.mp_visible, self.map.mp_found
         upd = fused_frame_update(
             self.map.mp_pos, self.map.mp_desc, self.map.mp_valid,
-            self.map.mp_visible, self.map.mp_found,
+            vis_snap + 0, fnd_snap + 0,
             self.cur_pose, pred_pose,
             feats.uv, feats.desc, feats.valid, feats.octave,
             extractor.inv_scale_sigma2(cfg.orb), self.cam_params,
+            mp_normal=self.map.mp_normal,
+            mp_min_dist=self.map.mp_min_dist,
+            mp_max_dist=self.map.mp_max_dist,
             cam_model=cfg.cam_model, img_h=h, img_w=w,
             radius_coarse=cfg.match_radius_coarse,
             radius_fine=cfg.match_radius_fine,
             min_matches=cfg.min_track_matches,
             use_pallas=self.use_pallas,
-            far_threshold=cfg.th_far_points)
+            far_threshold=cfg.th_far_points,
+            num_levels=cfg.orb.num_levels)
         # the ONLY device->host sync of the frame
         n_matches, n_inliers = (int(x) for x in np.asarray(upd.counts))
-        self.map = self.map._replace(
-            mp_visible=upd.mp_visible, mp_found=upd.mp_found)
 
         if (n_matches < cfg.min_track_matches
                 or n_inliers < cfg.min_track_matches // 2):
             # motion-model tracking failed -> reference-keyframe fallback
             # (reference: TrackReferenceKeyFrame, tracking.cc:2043 — BoW
             # match against the last KF, solve from the last frame's pose),
-            # then re-enter the fused local-map step at the recovered pose
+            # then re-enter the fused local-map step at the recovered pose,
+            # restarting the counters from the pre-frame snapshot so the
+            # frame is counted once, not twice
             rec_pose = self._track_reference_kf(feats)
             if rec_pose is not None:
                 upd = fused_frame_update(
                     self.map.mp_pos, self.map.mp_desc, self.map.mp_valid,
-                    self.map.mp_visible, self.map.mp_found,
+                    vis_snap, fnd_snap,
                     self.cur_pose, rec_pose,
                     feats.uv, feats.desc, feats.valid, feats.octave,
                     extractor.inv_scale_sigma2(cfg.orb), self.cam_params,
+                    mp_normal=self.map.mp_normal,
+                    mp_min_dist=self.map.mp_min_dist,
+                    mp_max_dist=self.map.mp_max_dist,
                     cam_model=cfg.cam_model, img_h=h, img_w=w,
                     radius_coarse=cfg.match_radius_coarse,
                     radius_fine=cfg.match_radius_fine,
                     min_matches=cfg.min_track_matches,
                     use_pallas=self.use_pallas,
-                    far_threshold=cfg.th_far_points)
+                    far_threshold=cfg.th_far_points,
+                    num_levels=cfg.orb.num_levels)
                 n_matches, n_inliers = (int(x)
                                         for x in np.asarray(upd.counts))
-                self.map = self.map._replace(
-                    mp_visible=upd.mp_visible, mp_found=upd.mp_found)
+        # commit counters once, from whichever update produced the frame
+        self.map = self.map._replace(
+            mp_visible=upd.mp_visible, mp_found=upd.mp_found)
 
         if (n_matches < cfg.min_track_matches
                 or n_inliers < cfg.min_track_matches // 2):
@@ -383,8 +402,11 @@ class MonoTracker:
         self._post_track_refine(feats, upd)
 
         if self._need_new_keyframe(n_inliers):
+            self._ensure_capacity()
             with stage("keyframe_insert"):
-                self._insert_keyframe(feats, timestamp, upd.obs)
+                # _cur_obs, not upd.obs: a map-point compaction in
+                # _ensure_capacity remaps _cur_obs to the new rows
+                self._insert_keyframe(feats, timestamp, self._cur_obs)
 
         return FrameRecord(timestamp, self.cur_pose, n_inliers, "ok")
 
@@ -425,15 +447,80 @@ class MonoTracker:
 
     def _need_new_keyframe(self, n_inliers: int) -> bool:
         """Reference: Tracking::NeedNewKeyFrame (tracking.cc:2350),
-        simplified to the visual-only conditions."""
+        simplified to the visual-only conditions. Capacity never vetoes a
+        keyframe — _ensure_capacity compacts or grows the tables first."""
         cfg = self.cfg
-        if int(self.map.n_kf) >= cfg.max_keyframes:
-            return False
         if self.frames_since_kf < cfg.kf_min_interval:
             return False
         if self.frames_since_kf >= cfg.kf_max_interval:
             return True
         return n_inliers < cfg.kf_tracked_ratio * max(self.last_kf_tracked, 1)
+
+    # -- capacity management (unbounded-sequence support) -------------------
+
+    def _ensure_capacity(self) -> None:
+        """Make room for one keyframe insert: reclaim culled slots first
+        (compaction), grow the tables if the LIVE set itself is at capacity.
+
+        Reference analogue: the pointer map never hits a capacity wall
+        because culling frees memory (localmapping.cc:791-930); with static
+        SoA tables the equivalent is compaction + doubling growth, keeping
+        jit recompiles logarithmic in the final map size.
+        """
+        m = self.map
+        if int(m.n_kf) >= m.max_kf:
+            self._compact_keyframes()
+            if int(self.map.n_kf) >= self.map.max_kf:
+                new_k = self.map.max_kf * 2
+                self.map = ms.grow_map(self.map, new_max_kf=new_k)
+                self._on_kf_grow(new_k)
+        # a keyframe insert creates at most ~2F new points (stereo close
+        # points + multi-view triangulation, each bounded by the feature
+        # budget)
+        need_mp = 2 * self.cfg.orb.n_features
+        m = self.map
+        if int(m.n_mp) + need_mp > m.max_mp:
+            self._compact_map_points()
+            if int(self.map.n_mp) + need_mp > self.map.max_mp:
+                self.map = ms.grow_map(self.map,
+                                       new_max_mp=self.map.max_mp * 2)
+
+    def _compact_map_points(self) -> None:
+        self.map, old_to_new = ms.compact_map_points(self.map)
+        if self._cur_obs is not None:
+            o = self._cur_obs
+            self._cur_obs = jnp.where(
+                o >= 0, old_to_new[jnp.clip(o, 0, old_to_new.shape[0] - 1)],
+                -1).astype(jnp.int32)
+
+    def _compact_keyframes(self) -> None:
+        new_map, old_to_new, order = ms.compact_keyframes(self.map)
+        o2n = np.asarray(old_to_new)
+        # trajectory entries whose reference keyframe is being dropped are
+        # frozen to absolute poses against the OLD map (before the rows move)
+        traj = []
+        for ts, kf, T in self._traj_rel:
+            if kf >= 0 and o2n[kf] < 0:
+                traj.append((ts, -1, self._resolve_pose(kf, T)))
+            elif kf >= 0:
+                traj.append((ts, int(o2n[kf]), T))
+            else:
+                traj.append((ts, kf, T))
+        self._traj_rel = traj
+        self.map = new_map
+        if self.last_kf_id >= 0:
+            self.last_kf_id = int(o2n[self.last_kf_id])
+        if self.loop_closer is not None:
+            self.loop_closer.on_kf_remap(o2n, np.asarray(order))
+        self._on_kf_remap(o2n, np.asarray(order))
+
+    def _on_kf_remap(self, old_to_new, order) -> None:
+        """Hook: subclasses permute their per-keyframe side tables."""
+
+    def _on_kf_grow(self, new_max_kf: int) -> None:
+        """Hook: subclasses grow their per-keyframe side tables."""
+        if self.loop_closer is not None:
+            self.loop_closer.on_kf_grow(new_max_kf)
 
     def _try_relocalize(self, feats) -> bool:
         """PnP relocalization against the existing map (reference:
@@ -490,7 +577,8 @@ class MonoTracker:
             feats.octave, feats.valid, obs, jnp.asarray(prev),
             self.cam_params, cam_model=cfg.cam_model, img_h=h, img_w=w,
             culling_found_ratio=cfg.culling_found_ratio,
-            far_threshold=cfg.th_far_points)
+            far_threshold=cfg.th_far_points,
+            num_levels=cfg.orb.num_levels)
         self.map = res.map
         kf_id, n_tracked = (int(x) for x in np.asarray(res.stats))
         if kf_id < 0:
@@ -569,16 +657,21 @@ class MonoTracker:
         x2 = lie.se3_apply(pose_new, m_new.mp_pos[mp_new])  # current cam
         uv1 = m_old.kf_uv[cand]
         uv2 = m_new.kf_uv[cur][idx_c]
+        # both-metric welds (stereo rigs, initialized inertial) fix scale
+        # (reference: bFixedScale in MergeLocal, loopclosing.cc:1180)
+        fix_scale = hasattr(self, "kf_uright") or bool(
+            getattr(self, "imu_initialized", False))
         res = sim3_ransac(
             x1, x2, pair_ok, uv1, uv2, self.cam_params,
             jax.random.PRNGKey(cur * 31 + cand),
-            min_inliers=15, cam_model=self.cfg.cam_model)
+            fix_scale=fix_scale, min_inliers=15,
+            cam_model=self.cfg.cam_model)
         if not bool(res.ok):
             return False
         S_c, inlier, n_in = optimize_sim3(
             res.sim, x1, x2, pair_ok, uv1, uv2,
             jnp.ones(F), jnp.ones(F), self.cam_params,
-            cam_model=self.cfg.cam_model)
+            fix_scale=fix_scale, cam_model=self.cfg.cam_model)
         if int(n_in) < 20:
             return False
 
@@ -588,6 +681,19 @@ class MonoTracker:
             lie.sim3_from_se3(lie.se3_inverse(pose_new)),
             lie.sim3_compose(S_c, lie.sim3_from_se3(pose_old)))
         S_new_to_old = lie.sim3_inverse(S_old_to_new)
+
+        # grow the receiving map first if the weld would overflow it
+        need_kf = int(m_old.n_kf) + int(m_new.n_kf)
+        need_mp = int(m_old.n_mp) + int(m_new.n_mp)
+        grew_old = (need_kf > m_old.max_kf or need_mp > m_old.max_mp)
+        if grew_old:
+            gk = m_old.max_kf
+            while gk < need_kf:
+                gk *= 2
+            gm = m_old.max_mp
+            while gm < need_mp:
+                gm *= 2
+            m_old = ms.grow_map(m_old, new_max_kf=gk, new_max_mp=gm)
 
         merged, kf_off, mp_off = merge_maps(m_old, m_new, S_new_to_old)
         if merged is None:
@@ -610,11 +716,30 @@ class MonoTracker:
         # rebuild the BoW database: archived rows + current rows shifted
         db = self.loop_closer.db
         n_new = int(m_new.n_kf)
-        new_bow = arch.bow.at[kf_off: kf_off + n_new].set(db.bow[:n_new])
-        new_present = arch.present.at[kf_off: kf_off + n_new].set(
+        arch_bow, arch_present = arch.bow, arch.present
+        if arch_bow.shape[0] < self.map.max_kf:
+            pad = self.map.max_kf - arch_bow.shape[0]
+            arch_bow = jnp.concatenate(
+                [arch_bow, jnp.zeros((pad, arch_bow.shape[1]),
+                                     arch_bow.dtype)], axis=0)
+            arch_present = jnp.concatenate(
+                [arch_present, jnp.zeros(pad, bool)], axis=0)
+        db.bow = arch_bow.at[kf_off: kf_off + n_new].set(db.bow[:n_new])
+        db.present = arch_present.at[kf_off: kf_off + n_new].set(
             db.present[:n_new])
-        db.bow = new_bow
-        db.present = new_present
+
+        # loop-closure bookkeeping follows the index shift
+        lc = self.loop_closer
+        lc.loop_edges = [(i + kf_off, j + kf_off, rel)
+                         for i, j, rel in lc.loop_edges]
+        lc._cons_groups = []
+        if lc.last_loop_kf >= 0:
+            lc.last_loop_kf += kf_off
+
+        # per-keyframe side tables follow the weld (inertial chain, stereo
+        # u_right) — reference MergeLocal2 re-homes the inertial state,
+        # loopclosing.cc:1651-1941
+        self._on_maps_merged(arch, kf_off, S_new_to_old)
 
         # ---- welding BA (reference: the explicit adjust/fixed-set
         # LocalBundleAdjustment run by MergeLocal, optimizer.cc:3436):
@@ -644,6 +769,7 @@ class MonoTracker:
             iters_second=cfg.ba_iters_second)
         self.cur_pose = lie.SE3(self.map.kf_pose.R[self.last_kf_id],
                                 self.map.kf_pose.t[self.last_kf_id])
+        self._reset_prior()
 
         self._merge_cooldown = 20
         return True
@@ -665,7 +791,8 @@ class MonoTracker:
         redundant = jnp.sum(pts, axis=1) / n_pts
         redundant = np.asarray(redundant)
         for k in range(max(1, n_kf - 10), n_kf - 2):
-            if bool(m.kf_valid[k]) and redundant[k] > 0.9:
+            if bool(m.kf_valid[k]) and redundant[k] > 0.9 \
+                    and self._can_cull(k):
                 self.map = self.map._replace(
                     kf_valid=self.map.kf_valid.at[k].set(False),
                     kf_obs_mp=self.map.kf_obs_mp.at[k].set(-1),
@@ -673,6 +800,26 @@ class MonoTracker:
                 if self.loop_closer is not None:
                     self.loop_closer.db.remove(k)
                 m = self.map
+
+    def _reset_prior(self) -> None:
+        """Hook: inertial trackers restart their marginalization chain
+        after any map rewrite (BA, gauge transform, loop, merge)."""
+
+    def _inertial_archive_snapshot(self):
+        """Hook: inertial trackers return their per-KF side tables so the
+        atlas archive keeps the full inertial chain (None = visual-only)."""
+        return None
+
+    def _on_maps_merged(self, arch, kf_off: int,
+                        S_new_to_old: lie.Sim3) -> None:
+        """Hook: inertial trackers rebuild their per-KF side tables after
+        the active map was welded into an archived one."""
+
+    def _can_cull(self, k: int) -> bool:
+        """Hook: the inertial mixin vetoes culls that would open a long
+        preintegration gap (reference localmapping.cc:885-921: inertial
+        maps only cull when the temporal neighbours stay <3 s apart)."""
+        return True
 
     def _ba_window_arrays(self, min_fixed: int):
         """Host-side window + fixed-mask construction for local BA.

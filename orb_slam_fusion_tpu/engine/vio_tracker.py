@@ -40,6 +40,15 @@ from .tracker import FrameRecord, MonoTracker, TrackState
 from .stereo_tracker import FisheyeStereoTracker, StereoTracker
 
 
+def _concat_raw(a: Optional[tuple], b: Optional[tuple]) -> Optional[tuple]:
+    """Concatenate two raw (acc, gyro, dt) measurement windows."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return tuple(np.concatenate([x, y]) for x, y in zip(a, b))
+
+
 class InertialMixin:
     """IMU machinery shared by the mono- and stereo-inertial trackers.
 
@@ -63,12 +72,26 @@ class InertialMixin:
         self.kf_bias: List[ImuBias] = []
         self.kf_pre: List[Optional[Preintegrated]] = []  # pre from prev KF
         self.kf_time: List[float] = []
+        # raw measurement windows (acc, gyro, dt) per keyframe — kept so
+        # preintegrations can be RE-integrated at a moved bias estimate
+        # (reference Preintegrated::Reintegrate, imu_types.cc:180) and
+        # merged when the previous keyframe is culled (MergePrevious,
+        # imu_types.cc:222)
+        self.kf_raw: List[Optional[tuple]] = []
         # measurement buffers since last frame / last keyframe
         self._buf_kf = ([], [], [])   # acc, gyro, dt since last KF
         self._last_frame_time: Optional[float] = None
         self._pre_frame: Optional[Preintegrated] = None
         self._prev_pose_imu = self.cur_pose
         self._prev_vel_imu = self.cur_vel
+        # marginalized 15-dim prior carried frame to frame (reference
+        # ConstraintPoseImu; rebuilt at keyframes where the windowed VI-BA
+        # re-anchors the state)
+        self._prior = None
+        # staged initialization (reference localmapping.cc:148-199):
+        # stage 1 = first init, 2 = VIBA1 (t>5 s), 3 = VIBA2 (t>15 s)
+        self._imu_stage = 0
+        self._imu_init_time = 0.0
         self.init_min_time = 2.0      # seconds of KFs before IMU init
         self.init_min_kfs = 8
 
@@ -115,17 +138,24 @@ class InertialMixin:
         return self.process_features(feats, timestamp)
 
     def _post_track_refine(self, feats, upd) -> None:
-        """Per-frame pose-inertial re-solve (reference:
-        Optimizer::PoseInertialOptimizationLastFrame, optimizer.cc:4762):
-        with matches fixed, the frame state [pose, velocity] is optimized
-        against reprojection + the preintegrated factor from the previous
-        frame, whose state is held fixed. One extra device dispatch, no
-        host sync."""
+        """Per-frame pose-inertial re-solve with the marginalized prior
+        (reference: Optimizer::PoseInertialOptimizationLastFrame,
+        optimizer.cc:4762 + Marginalize, optimizer.cc:2904): the previous
+        frame rides along under its 15-dim prior, an EdgeInertial + bias
+        random-walk edges connect it to the current frame, reprojection
+        factors constrain the current pose; afterwards the previous state
+        is Schur-marginalized into the prior carried to the next frame.
+        One extra device dispatch, no host sync."""
         if not self.imu_initialized or self._pre_frame is None:
             return
         from ..frontend import extractor as _ext
         from ..imu.factors import information_from_cov
-        from ..solver.pose_inertial import pose_inertial_optimization
+        from ..solver.pose_inertial_prior import (
+            make_initial_prior, pose_inertial_marginalized)
+
+        if self._prior is None:
+            self._prior = make_initial_prior(
+                self._prev_pose_imu, self._prev_vel_imu, self.bias)
 
         m = self.map
         obs = upd.obs
@@ -135,16 +165,30 @@ class InertialMixin:
         inv_s2 = _ext.inv_scale_sigma2(cfg.orb)[
             jnp.clip(feats.octave, 0, cfg.orb.num_levels - 1)]
         info = information_from_cov(self._pre_frame)
-        pose, vel, inlier, n_in = pose_inertial_optimization(
-            self.cur_pose, jnp.asarray(self.cur_vel),
-            self._prev_pose_imu, jnp.asarray(self._prev_vel_imu),
-            self.bias, self._pre_frame, info, self.calib,
+        pose, vel, bias, prior, inlier, n_in = pose_inertial_marginalized(
+            self._prior, self.cur_pose, jnp.asarray(self.cur_vel),
+            self._pre_frame, info, self.calib,
             m.mp_pos[mp], feats.uv, inv_s2, valid, self.cam_params,
             cam_model=cfg.cam_model)
         self.cur_pose = pose
         self.cur_vel = vel
+        self.bias = ImuBias(bias.gyro, bias.acc)
+        self._prior = prior
         self.velocity = lie.se3_compose(pose,
                                         lie.se3_inverse(self.last_pose))
+
+    def _reset_prior(self) -> None:
+        """Restart the marginalization chain from the current (keyframe-
+        refreshed or map-corrected) state — called after VI-BA, gauge
+        transforms, loop corrections and merges, where the map absorbed
+        the accumulated information (reference: the prior is rebuilt from
+        the keyframe-anchored solve, optimizer.cc:4394)."""
+        if not self.imu_initialized:
+            self._prior = None
+            return
+        from ..solver.pose_inertial_prior import make_initial_prior
+        self._prior = make_initial_prior(
+            self.cur_pose, jnp.asarray(self.cur_vel), self.bias)
 
     # -- prediction --------------------------------------------------------
 
@@ -180,6 +224,7 @@ class InertialMixin:
         n_kf = int(self.map.n_kf)
         while len(self.kf_pre) < n_kf:
             self.kf_pre.append(None)
+            self.kf_raw.append(None)
             self.kf_vel.append(np.zeros(3, np.float32))
             self.kf_bias.append(self.bias)
             self.kf_time.append(timestamp)
@@ -190,6 +235,7 @@ class InertialMixin:
         n_kf = int(self.map.n_kf)
         while len(self.kf_pre) < n_kf:
             self.kf_pre.append(None)
+            self.kf_raw.append(None)
             self.kf_vel.append(np.zeros(3, np.float32))
             self.kf_bias.append(self.bias)
             self.kf_time.append(timestamp)
@@ -202,13 +248,14 @@ class InertialMixin:
         # runs local BA during insertion, which (post IMU init) reads these
         # tables for the new keyframe row
         a, g, d = self._buf_kf
-        pre = None
+        pre, raw = None, None
         if len(d) > 0 and prev_n > 0:
-            pre = preintegrate_host(
-                np.asarray(a, np.float32), np.asarray(g, np.float32),
-                np.asarray(d, np.float32), self.bias, self.calib)
+            raw = (np.asarray(a, np.float64), np.asarray(g, np.float64),
+                   np.asarray(d, np.float64))
+            pre = preintegrate_host(*raw, self.bias, self.calib)
         self._buf_kf = ([], [], [])
         self.kf_pre.append(pre)
+        self.kf_raw.append(raw)
         self.kf_vel.append(np.asarray(self.cur_vel))
         self.kf_bias.append(self.bias)
         self.kf_time.append(timestamp)
@@ -216,6 +263,7 @@ class InertialMixin:
         super()._insert_keyframe(feats, timestamp, obs)
         if int(self.map.n_kf) == prev_n:   # insert failed/full — roll back
             self.kf_pre.pop()
+            self.kf_raw.pop()
             self.kf_vel.pop()
             self.kf_bias.pop()
             self.kf_time.pop()
@@ -223,6 +271,11 @@ class InertialMixin:
 
         if not self.imu_initialized:
             self._maybe_initialize_imu()
+        else:
+            self._staged_inertial_refine()
+        # the windowed VI-BA / IMU init just re-anchored the state: restart
+        # the frame-to-frame marginalization chain from it
+        self._reset_prior()
 
     def reset_map(self):
         super().reset_map()
@@ -230,8 +283,89 @@ class InertialMixin:
         self.bias = zero_bias()
         self.cur_vel = jnp.zeros(3, jnp.float32)
         self.kf_vel, self.kf_bias, self.kf_pre, self.kf_time = [], [], [], []
+        self.kf_raw = []
         self._buf_kf = ([], [], [])
         self._pre_frame = None
+        self._prior = None
+        self._imu_stage = 0
+        self._imu_init_time = 0.0
+
+    def _inertial_archive_snapshot(self):
+        return {"kf_vel": list(self.kf_vel), "kf_bias": list(self.kf_bias),
+                "kf_pre": list(self.kf_pre), "kf_time": list(self.kf_time),
+                "kf_raw": list(self.kf_raw)}
+
+    def _on_maps_merged(self, arch, kf_off: int, S_new_to_old):
+        """Inertial-correct merge (reference MergeLocal2 + MergeInertialBA,
+        loopclosing.cc:1651-1941, optimizer.cc:3859): re-home the per-KF
+        inertial tables into the merged index space, transform the active
+        map's velocities by the weld Sim3 (v' = s R v; biases and body-frame
+        preintegrations are invariant), then re-align gravity and re-solve
+        the full inertial history over the merged map."""
+        super()._on_maps_merged(arch, kf_off, S_new_to_old)
+        s = float(np.asarray(S_new_to_old.s))
+        R = np.asarray(S_new_to_old.R)
+        new_vel = [s * (R @ np.asarray(v)) for v in self.kf_vel]
+        ai = arch.inertial
+        if ai is None:
+            old_ts = np.asarray(arch.map.kf_timestamp[:kf_off])
+            old = {"kf_vel": [np.zeros(3, np.float32)] * kf_off,
+                   "kf_bias": [zero_bias()] * kf_off,
+                   "kf_pre": [None] * kf_off,
+                   "kf_time": [float(t) for t in old_ts],
+                   "kf_raw": [None] * kf_off}
+        else:
+            old = ai
+        self.kf_vel = list(old["kf_vel"]) + new_vel
+        self.kf_bias = list(old["kf_bias"]) + list(self.kf_bias)
+        self.kf_pre = list(old["kf_pre"]) + list(self.kf_pre)
+        self.kf_time = list(old["kf_time"]) + list(self.kf_time)
+        self.kf_raw = list(old["kf_raw"]) + list(self.kf_raw)
+        self.cur_vel = jnp.asarray(self.kf_vel[-1])
+        # the merged world is the ARCHIVED map's frame — gravity alignment
+        # must be re-established over the joint history (reference:
+        # InertialOptimization + ApplyScaledRotation in MergeLocal2)
+        if self.imu_initialized:
+            if self._inertial_estimate_apply(refine=False):
+                self._full_vi_ba()
+            self._reset_prior()
+
+    def _can_cull(self, k: int) -> bool:
+        """Inertial culling gate: the merged preintegration window after the
+        cull (previous kept KF -> next KF) must stay under 3 s (reference
+        localmapping.cc:885-921)."""
+        if k <= 0 or k + 1 >= len(self.kf_time):
+            return False
+        return (self.kf_time[k + 1] - self.kf_time[k - 1]) < 3.0
+
+    def _on_kf_remap(self, old_to_new, order):
+        """Keyframe compaction: permute the inertial side tables, merging
+        the preintegration windows of dropped keyframes into the next kept
+        keyframe (reference: Preintegrated::MergePrevious on KeyFrameCulling
+        of inertial maps, imu_types.cc:222, localmapping.cc:905)."""
+        super()._on_kf_remap(old_to_new, order)
+        n_old = len(self.kf_vel)
+        vel, bias, pre, time_, raw_l = [], [], [], [], []
+        pending = None   # concatenated raw windows of dropped keyframes
+        for k in range(n_old):
+            if old_to_new[k] >= 0:
+                raw = self.kf_raw[k]
+                p = self.kf_pre[k]
+                if pending is not None:
+                    raw = _concat_raw(pending, raw)
+                    p = (preintegrate_host(
+                        *raw, p.bias0 if p is not None else self.bias,
+                        self.calib) if raw is not None else p)
+                    pending = None
+                vel.append(self.kf_vel[k])
+                bias.append(self.kf_bias[k])
+                pre.append(p)
+                raw_l.append(raw)
+                time_.append(self.kf_time[k])
+            else:
+                pending = _concat_raw(pending, self.kf_raw[k])
+        self.kf_vel, self.kf_bias, self.kf_pre = vel, bias, pre
+        self.kf_raw, self.kf_time = raw_l, time_
 
     # -- IMU initialization ------------------------------------------------
 
@@ -276,17 +410,45 @@ class InertialMixin:
             return
         if self.kf_time[-1] - self.kf_time[0] < self.init_min_time:
             return
+        if self._inertial_estimate_apply(refine=False):
+            self.imu_initialized = True
+            self._imu_stage = 1
+            self._imu_init_time = self.kf_time[-1]
+            # reference InitializeIMU ends with FullInertialBA
+            # (localmapping.cc:1154-1161): pull the whole pre-init
+            # trajectory + structure consistent with the IMU, absorbing the
+            # scale drift a single global gauge factor cannot
+            self._full_vi_ba()
+
+    def _inertial_estimate_apply(self, refine: bool) -> bool:
+        """Estimate (scale,) gravity, biases, velocities over ALL keyframes
+        and apply them to the map (reference InertialOptimization +
+        ApplyScaledRotation + Reintegrate, localmapping.cc:1035-1272).
+
+        `refine` guards the re-runs (VIBA1/VIBA2/scale refinement): the map
+        is already gravity-aligned and ~metric, so the correction must be
+        near identity — a degenerate solve is rejected instead of applied.
+        """
+        n_kf = int(self.map.n_kf)
         ifac = self._inertial_factor_batch(0, n_kf)
         if ifac is None or ifac.i.shape[0] < self.init_min_kfs - 2:
-            return
+            return False
 
         poses = lie.SE3(self.map.kf_pose.R[:n_kf], self.map.kf_pose.t[:n_kf])
         s, R_wg, bias, vel, costs = inertial_init(
             poses, ifac, self.calib,
             optimize_scale=self._imu_optimize_scale)
         s_f = float(s) if self._imu_optimize_scale else 1.0
-        if not np.isfinite(s_f) or s_f < 1e-3 or s_f > 1e3:
-            return
+        if not np.isfinite(s_f):
+            return False
+        if refine:
+            # reference ScaleRefinement sanity: the refinement must be a
+            # small correction (localmapping.cc:1274-1341)
+            ang = float(jnp.linalg.norm(lie.so3_log(jnp.asarray(R_wg))))
+            if not (0.5 < s_f < 2.0) or ang > 0.35:
+                return False
+        elif s_f < 1e-3 or s_f > 1e3:
+            return False
 
         self._apply_scaled_rotation(s_f, R_wg)
         self.bias = ImuBias(bias.gyro, bias.acc)
@@ -298,10 +460,55 @@ class InertialMixin:
         self.kf_vel = [np.asarray(v) for v in vel_new]
         self.kf_bias = [self.bias] * n_kf
         self.cur_vel = jnp.asarray(self.kf_vel[-1])
-        # reintegrate stored windows at the estimated bias
-        # (first-order corrections handle small deltas; full reintegration
-        # would need the raw buffers — acceptable at init where bias0 = 0)
-        self.imu_initialized = True
+        # re-integrate the stored windows at the estimated bias (reference:
+        # Preintegrated::Reintegrate after InitializeIMU, imu_types.cc:180 —
+        # exact, from the raw buffers, not the first-order correction)
+        self._reintegrate_all(self.bias)
+        return True
+
+    def _staged_inertial_refine(self):
+        """Staged re-initialization (reference localmapping.cc:148-199):
+        VIBA1 at t>5 s and VIBA2 at t>15 s after IMU init re-estimate
+        gravity/bias(/scale for mono) over the full keyframe history,
+        re-linearize the stored preintegrations at the moved bias, and run
+        a full visual-inertial BA — the estimates sharpen in stages as the
+        trajectory excites more directions."""
+        if not self.imu_initialized:
+            return
+        # elapsed since the map's first keyframe (reference mFirstTs,
+        # localmapping.cc:157/173: "t - mFirstTs")
+        elapsed = self.kf_time[-1] - self.kf_time[0]
+        if self._imu_stage == 1 and elapsed > 5.0:
+            next_stage = 2
+        elif self._imu_stage == 2 and elapsed > 15.0:
+            next_stage = 3
+        else:
+            return
+        if self._inertial_estimate_apply(refine=True):
+            self._full_vi_ba()
+        # advance even on a rejected refine — the windowed VI-BA keeps
+        # improving the estimates; re-trying every keyframe would pay the
+        # full-history solve repeatedly for nothing
+        self._imu_stage = next_stage
+        self._reset_prior()
+
+    def _full_vi_ba(self):
+        """Full-history visual-inertial BA (reference FullInertialBA,
+        optimizer.cc:364) — the VIBA1/VIBA2 polish passes."""
+        n_kf = int(self.map.n_kf)
+        if n_kf < 3:
+            return
+        # pad the window to a multiple of 16 so repeated stages reuse
+        # compiled shapes
+        W = -(-n_kf // 16) * 16
+        ids = np.arange(n_kf, dtype=np.int32)
+        self._vi_ba_over(ids, W, n_fixed=1, iters=12)
+
+    def _reintegrate_all(self, bias: ImuBias) -> None:
+        for k in range(len(self.kf_pre)):
+            if self.kf_raw[k] is not None:
+                self.kf_pre[k] = preintegrate_host(
+                    *self.kf_raw[k], bias, self.calib)
 
     def _apply_scaled_rotation(self, s: float, R_wg) -> None:
         """Gauge transform of the whole map: x' = s * R_gw * x.
@@ -318,10 +525,14 @@ class InertialMixin:
         self.map = m._replace(
             kf_pose=lie.SE3(kf_R, kf_t),
             mp_pos=jnp.where(m.mp_valid[:, None], mp, m.mp_pos),
+            mp_min_dist=m.mp_min_dist * s,
+            mp_max_dist=jnp.where(m.mp_max_dist < 1e8,
+                                  m.mp_max_dist * s, m.mp_max_dist),
         )
         self.cur_pose = lie.SE3(self.map.kf_pose.R[self.last_kf_id],
                                 self.map.kf_pose.t[self.last_kf_id])
         self.velocity = lie.se3_identity()
+        self._reset_prior()
 
     # -- local mapping -----------------------------------------------------
 
@@ -334,8 +545,19 @@ class InertialMixin:
         W = cfg.ba_window + cfg.ba_fixed_ring
         start = max(0, n_kf - W)
         ids = np.arange(start, n_kf, dtype=np.int32)
+        n_fixed = max(len(ids) - cfg.ba_window, min(2, len(ids) - 1))
+        self._vi_ba_over(ids, W, n_fixed=n_fixed,
+                         iters=cfg.ba_iters_first + cfg.ba_iters_second)
+
+    def _vi_ba_over(self, ids: np.ndarray, Wpad: int, n_fixed: int,
+                    iters: int):
+        """Windowed/full visual-inertial BA over keyframe rows `ids`
+        (reference LocalInertialBA / FullInertialBA, optimizer.cc:2329/364),
+        padded to `Wpad` rows so repeated calls reuse compiled programs."""
+        cfg = self.cfg
+        n_kf = int(self.map.n_kf)
+        start = int(ids[0])
         n_in = len(ids)
-        Wpad = W
         window = np.full(Wpad, -1, np.int32)
         window[:n_in] = ids
         window_j = jnp.asarray(window)
@@ -347,7 +569,6 @@ class InertialMixin:
         poses = lie.SE3(self.map.kf_pose.R[np.clip(window, 0, None)],
                         self.map.kf_pose.t[np.clip(window, 0, None)])
 
-        n_fixed = max(n_in - cfg.ba_window, min(2, n_in - 1))
         fixed_pose = np.zeros(Wpad, bool)
         fixed_pose[:n_fixed] = True
         fixed_pose |= (window < 0)
@@ -386,7 +607,7 @@ class InertialMixin:
             fixed_pose=jnp.asarray(fixed_pose),
             fixed_inertial=jnp.asarray(fixed_in),
             cam_model=cfg.cam_model,
-            iters=cfg.ba_iters_first + cfg.ba_iters_second)
+            iters=iters)
 
         ids_j = jnp.asarray(ids)
         self.map = self.map._replace(

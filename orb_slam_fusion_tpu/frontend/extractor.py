@@ -216,8 +216,11 @@ def brief_descriptors(patches: jnp.ndarray, angles: jnp.ndarray
     n, size = patches.shape[0], patches.shape[-1]
     C = jnp.asarray(_brief_selection(size, BRIEF_ANGLE_BINS))  # (S*S, B*256)
     flat = patches.reshape(n, -1)                       # (N, S*S)
+    # HIGHEST precision: the default lowers to bfloat16 on TPU, whose ~0.4%
+    # rounding on 0-255 pixels can flip bits on low-contrast comparisons
+    # relative to the reference's exact integer compare
     diffs = jax.lax.dot(flat, C.astype(jnp.float32),
-                        precision=jax.lax.Precision.DEFAULT)  # (N, B*256)
+                        precision=jax.lax.Precision.HIGHEST)  # (N, B*256)
     bits_all = (diffs > 0).astype(jnp.float32).reshape(
         n, BRIEF_ANGLE_BINS, 256)
     # pick each keypoint's angle bin (nearest; wrap to [0, 2pi))

@@ -53,14 +53,21 @@ def _match_kernel(uvr_ref, mp_desc_ref, kp_uvT_ref, kp_descT_ref,
         dist += jax.lax.population_count(
             jnp.bitwise_xor(d1w, d2w)).astype(jnp.int32)
 
-    # spatial window: uvr = [u, v, radius, 0]; invalid map points carry
-    # radius < 0 (empty window), invalid keypoints sit at 1e9 (outside all)
+    # spatial window: uvr = [u, v, radius, predicted_octave]; invalid map
+    # points carry radius < 0 (empty window), invalid keypoints sit at 1e9
+    # (outside all). Row 2 of kp_uvT is the keypoint octave; the pairwise
+    # octave gate (reference SearchByProjection level window) accepts
+    # |octave difference| <= 1. A map point with predicted octave < 0
+    # disables its gate (legacy scale-free callers pass -1e4).
     uvr = uvr_ref[:]                             # (TILE_M, 4)
     du = uvr[:, 0:1] - kp_uvT_ref[0:1, :]        # (TILE_M, N)
     dv = uvr[:, 1:2] - kp_uvT_ref[1:2, :]
     d2px = du * du + dv * dv
     r = uvr[:, 2:3]
     ok = d2px <= r * jnp.abs(r)                  # r<0 -> -r^2 -> all false
+    mp_oct = uvr[:, 3:4]
+    doct = jnp.abs(mp_oct - kp_uvT_ref[2:3, :])
+    ok = ok & ((doct <= 1.5) | (mp_oct < 0.0))
     # Mosaic's argmin lowering supports float32 only; distances are small
     # integers (<= 2048) so the cast is exact.
     distf = jnp.where(ok, dist, jnp.int32(BIG)).astype(jnp.float32)
@@ -86,19 +93,32 @@ def masked_match_pallas(
     kp_uv: jnp.ndarray,      # (N,2) f32
     kp_desc: jnp.ndarray,    # (N,8) uint32
     kp_valid: jnp.ndarray,   # (N,) bool
+    mp_octave: jnp.ndarray | None = None,   # (M,) predicted octave (f32/i32)
+    kp_octave: jnp.ndarray | None = None,   # (N,) keypoint octave
     tile_m: int = 512,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (best_idx (M,), best (M,), second (M,)) — BIG where masked."""
+    """Returns (best_idx (M,), best (M,), second (M,)) — BIG where masked.
+
+    When mp_octave/kp_octave are given, pairs with |octave diff| > 1 are
+    masked (reference SearchByProjection level window, orb_matcher.cc:42+).
+    """
     M = pred_uv.shape[0]
     N = kp_uv.shape[0]
     pad = (-M) % tile_m
     # fold masks into geometry (see module docstring)
     r_eff = jnp.where(mp_valid, jnp.asarray(radius, jnp.float32), -1.0)
-    uvr = jnp.concatenate(
-        [pred_uv, r_eff[:, None], jnp.zeros((M, 1), pred_uv.dtype)], axis=-1)
-    kp_uvT = jnp.where(kp_valid[None, :], kp_uv.T, 1e9)     # (2, N)
-    kp_descT = kp_desc.T                                     # (8, N)
+    if mp_octave is None:
+        mp_oct = jnp.full((M, 1), -1e4, pred_uv.dtype)   # gate disabled
+    else:
+        mp_oct = mp_octave.astype(pred_uv.dtype)[:, None]
+    uvr = jnp.concatenate([pred_uv, r_eff[:, None], mp_oct], axis=-1)
+    kp_oct = (jnp.zeros(N, pred_uv.dtype) if kp_octave is None
+              else kp_octave.astype(pred_uv.dtype))
+    kp_uvT = jnp.concatenate(
+        [jnp.where(kp_valid[None, :], kp_uv.T, 1e9),
+         kp_oct[None, :]], axis=0)                        # (3, N)
+    kp_descT = kp_desc.T                                  # (8, N)
     if pad:
         uvr = jnp.pad(uvr, ((0, pad), (0, 0)), constant_values=-1.0)
         mp_desc = jnp.pad(mp_desc, ((0, pad), (0, 0)))
@@ -119,7 +139,7 @@ def masked_match_pallas(
     best_idx, best, second = pl.pallas_call(
         _match_kernel,
         grid=grid,
-        in_specs=[row4_spec, row8_spec, full(2, N), full(8, N)],
+        in_specs=[row4_spec, row8_spec, full(3, N), full(8, N)],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=out_shape,
         interpret=interpret,

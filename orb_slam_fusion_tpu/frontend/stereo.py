@@ -107,8 +107,11 @@ def fisheye_stereo_match(
     uvR_hat = cameras.project(cameras.KANNALA_BRANDT8, cam2, X_R)
     eL = jnp.sum((uvL_hat - featsL.uv) ** 2, axis=-1)
     eR = jnp.sum((uvR_hat - featsR.uv[idx_c]) ** 2, axis=-1)
+    # each view gated with its OWN keypoint's octave sigma (reference
+    # TriangulateMatches uses sigmaLevel1 / sigmaLevel2 per view)
     sig2L = reproj_sigma ** 2 * 1.2 ** (2 * featsL.octave.astype(jnp.float32))
-    th = 5.991 * sig2L
+    sig2R = reproj_sigma ** 2 * 1.2 ** (
+        2 * featsR.octave[idx_c].astype(jnp.float32))
     good = (ok & (z > 0.05) & (X_R[..., 2] > 0.05)
-            & (eL < th) & (eR < th))
+            & (eL < 5.991 * sig2L) & (eR < 5.991 * sig2R))
     return jnp.where(good, z, -1.0), good

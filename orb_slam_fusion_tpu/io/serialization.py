@@ -19,27 +19,53 @@ import numpy as np
 from .. import lie
 from ..map.map_state import MapState
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+# fields added after v1 checkpoints, loaded with defaults when absent
+_V2_DEFAULTS = {
+    "mp_min_dist": lambda M: np.zeros(M, np.float32),
+    "mp_max_dist": lambda M: np.full(M, 1e9, np.float32),
+}
 
 
 def vocab_checksum(words: jnp.ndarray) -> str:
     return hashlib.md5(np.asarray(words).tobytes()).hexdigest()
 
 
+def map_to_arrays(m: MapState, prefix: str = "") -> dict:
+    """Flatten a MapState into named numpy arrays (pose split into R/t)."""
+    d = {prefix + "kf_pose_R": np.asarray(m.kf_pose.R),
+         prefix + "kf_pose_t": np.asarray(m.kf_pose.t)}
+    for name in MapState._fields:
+        if name == "kf_pose":
+            continue
+        d[prefix + name] = np.asarray(getattr(m, name))
+    return d
+
+
+def map_from_arrays(get, prefix: str = "") -> MapState:
+    """Rebuild a MapState from a name->array accessor (`get(name)` returns
+    the array or None for fields absent in older checkpoints)."""
+    kwargs = {}
+    max_mp = get(prefix + "mp_valid").shape[0]
+    for name in MapState._fields:
+        if name == "kf_pose":
+            continue
+        arr = get(prefix + name)
+        if arr is None and name in _V2_DEFAULTS:
+            arr = _V2_DEFAULTS[name](max_mp)
+        kwargs[name] = jnp.asarray(arr)
+    kwargs["kf_pose"] = lie.SE3(jnp.asarray(get(prefix + "kf_pose_R")),
+                                jnp.asarray(get(prefix + "kf_pose_t")))
+    return MapState(**kwargs)
+
+
 def save_map(path: str, m: MapState,
              vocab_words: Optional[jnp.ndarray] = None,
              **extra_arrays) -> None:
     """Write a map checkpoint (plus optional extra arrays, e.g. kf_uright,
-    velocities/biases for inertial sessions)."""
-    payload = {
-        "format_version": np.int64(FORMAT_VERSION),
-        "kf_pose_R": np.asarray(m.kf_pose.R),
-        "kf_pose_t": np.asarray(m.kf_pose.t),
-    }
-    for name in MapState._fields:
-        if name == "kf_pose":
-            continue
-        payload[name] = np.asarray(getattr(m, name))
+    velocities/biases for inertial sessions, archived atlas maps)."""
+    payload = {"format_version": np.int64(FORMAT_VERSION)}
+    payload.update(map_to_arrays(m))
     if vocab_words is not None:
         payload["vocab_md5"] = np.frombuffer(
             vocab_checksum(vocab_words).encode(), dtype=np.uint8)
@@ -56,7 +82,7 @@ def load_map(path: str,
     vocabulary, system.cc:1477)."""
     z = np.load(path, allow_pickle=False)
     ver = int(z["format_version"])
-    if ver != FORMAT_VERSION:
+    if ver > FORMAT_VERSION or ver < 1:
         raise ValueError(f"checkpoint format {ver} != {FORMAT_VERSION}")
     if vocab_words is not None and "vocab_md5" in z:
         stored = bytes(z["vocab_md5"]).decode()
@@ -64,14 +90,7 @@ def load_map(path: str,
             raise ValueError(
                 "vocabulary checksum mismatch — this map was built with a "
                 "different vocabulary")
-    kwargs = {}
-    for name in MapState._fields:
-        if name == "kf_pose":
-            kwargs[name] = None
-            continue
-        kwargs[name] = jnp.asarray(z[name])
-    kwargs["kf_pose"] = lie.SE3(jnp.asarray(z["kf_pose_R"]),
-                                jnp.asarray(z["kf_pose_t"]))
+    m = map_from_arrays(lambda n: z[n] if n in z.files else None)
     extras = {k[6:]: jnp.asarray(z[k]) for k in z.files
               if k.startswith("extra_")}
-    return MapState(**kwargs), extras
+    return m, extras

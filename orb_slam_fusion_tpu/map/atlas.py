@@ -28,17 +28,19 @@ def transform_map(m: ms.MapState, S: lie.Sim3) -> ms.MapState:
     wrong in general; we use the exact composition via camera centers:
     C' = S(C), R'_cw = R_cw R_S^T, t'_cw = -R'_cw C'.
     """
-    R_s = S.R
     # camera centers
     C = -jnp.einsum("kji,kj->ki", m.kf_pose.R, m.kf_pose.t)
     C2 = lie.sim3_apply(S, C)
-    R2 = jnp.einsum("kij,lj->kil", m.kf_pose.R,
-                    R_s) if False else m.kf_pose.R @ R_s.T
+    R2 = m.kf_pose.R @ S.R.T
     t2 = -jnp.einsum("kij,kj->ki", R2, C2)
     pts2 = lie.sim3_apply(S, m.mp_pos)
     return m._replace(
         kf_pose=lie.SE3(R2, t2),
         mp_pos=jnp.where(m.mp_valid[:, None], pts2, m.mp_pos),
+        # the scale-invariance band is a metric distance — rescale with S
+        mp_min_dist=m.mp_min_dist * S.s,
+        mp_max_dist=jnp.where(m.mp_max_dist < 1e8,
+                              m.mp_max_dist * S.s, m.mp_max_dist),
     )
 
 
@@ -97,6 +99,10 @@ def merge_maps(m_old: ms.MapState, m_new: ms.MapState,
         mp_found=m_old.mp_found.at[sl_mp].set(m_new_t.mp_found[:n_mp_new]),
         mp_first_kf=m_old.mp_first_kf.at[sl_mp].set(
             m_new_t.mp_first_kf[:n_mp_new] + kf_off),
+        mp_min_dist=m_old.mp_min_dist.at[sl_mp].set(
+            m_new_t.mp_min_dist[:n_mp_new]),
+        mp_max_dist=m_old.mp_max_dist.at[sl_mp].set(
+            m_new_t.mp_max_dist[:n_mp_new]),
         n_kf=jnp.int32(n_kf_old + n_kf_new),
         n_mp=jnp.int32(n_mp_old + n_mp_new),
     )
@@ -107,6 +113,11 @@ class ArchivedMap(NamedTuple):
     map: ms.MapState
     bow: jnp.ndarray        # (max_kf, V) keyframe BoW matrix
     present: jnp.ndarray    # (max_kf,)
+    # per-keyframe inertial side tables of the archived session (dict with
+    # kf_vel/kf_bias/kf_pre/kf_time/kf_raw lists), None for visual-only maps
+    # — kept so a later merge restores the full inertial chain (reference:
+    # archived Maps keep their KFs' mpImuPreintegrated, atlas serialization)
+    inertial: Optional[dict] = None
 
 
 class Atlas:
@@ -115,11 +126,11 @@ class Atlas:
     def __init__(self):
         self.archived: List[ArchivedMap] = []
 
-    def archive(self, m: ms.MapState, bow, present, min_kfs: int = 5
-                ) -> bool:
+    def archive(self, m: ms.MapState, bow, present, min_kfs: int = 5,
+                inertial: Optional[dict] = None) -> bool:
         if int(m.n_kf) < min_kfs:
             return False
-        self.archived.append(ArchivedMap(m, bow, present))
+        self.archived.append(ArchivedMap(m, bow, present, inertial))
         return True
 
     def __len__(self):

@@ -59,6 +59,22 @@ class KeyFrameDatabase:
     def remove(self, kf_id: int) -> None:
         self.present = self.present.at[kf_id].set(False)
 
+    def permute(self, order) -> None:
+        """Re-index the rows after a keyframe-table compaction."""
+        order = jnp.asarray(order)
+        self.bow = self.bow[order]
+        self.present = self.present[order]
+
+    def grow(self, new_max_kf: int) -> None:
+        """Pad the row capacity after a keyframe-table growth."""
+        K, V = self.bow.shape
+        if new_max_kf <= K:
+            return
+        self.bow = jnp.concatenate(
+            [self.bow, jnp.zeros((new_max_kf - K, V), jnp.float32)], axis=0)
+        self.present = jnp.concatenate(
+            [self.present, jnp.zeros(new_max_kf - K, bool)], axis=0)
+
     def compute_bow(self, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         return compute_bow_vector(self.vocab, desc, valid, self.levels)
 

@@ -32,7 +32,7 @@ offline; it runs on host numpy since it is tooling, not the serving path.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,14 +75,19 @@ def _popcount_rows(x: np.ndarray) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("levels", "direct_level"))
 def quantize_tree(vocab: TreeVocabulary, desc: jnp.ndarray,
                   valid: jnp.ndarray, levels: int,
-                  direct_level: int = 2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  direct_level: Optional[int] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched tree descent: (N,8) descriptors -> (word id, direct node id).
 
     direct_level counts from the root; the node visited there is the
     reference's direct-index bucket (FeatureVector key — ORB-SLAM uses
-    levelsup=4 from the leaves, i.e. L-4 from the root). Returns
-    (word (N,) int32 with -1 invalid, node (N,) int32 with -1 invalid).
+    levelsup=4 from the leaves, i.e. L-4 from the root; the default derives
+    that from `levels` so non-L=6 vocabularies keep DBoW2 semantics).
+    Returns (word (N,) int32 with -1 invalid, node (N,) int32 with -1
+    invalid).
     """
+    if direct_level is None:
+        direct_level = max(levels - 4, 1)
     n = desc.shape[0]
     node = jnp.zeros(n, jnp.int32)
     direct = jnp.zeros(n, jnp.int32)

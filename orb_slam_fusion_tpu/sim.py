@@ -30,6 +30,23 @@ class SyntheticWorld(NamedTuple):
     descriptors: np.ndarray   # (P, 8) uint32
     poses: lie.SE3            # (T,) ground-truth Tcw per frame
     timestamps: np.ndarray    # (T,)
+    # per-point canonical detection distance: the range at which the point's
+    # corner fires at pyramid octave 0. Observed octave then follows the
+    # distance ratio like a real multi-scale detector —
+    # octave = round(log_1.2(ref_dist / dist)) — which exercises the
+    # MapPoint scale-prediction machinery (PredictScale + octave gates).
+    # None = legacy scale-free rendering (all octave 0).
+    ref_dist: Optional[np.ndarray] = None
+
+
+def _canonical_distances(pts: np.ndarray, cam_positions: np.ndarray,
+                         rng: np.random.RandomState) -> np.ndarray:
+    """ref_dist per point: its distance from the trajectory centroid pushed
+    up by a random 0-3 octave margin, so a typical observation lands on a
+    low-but-nonzero pyramid level and dollying in/out moves it."""
+    centroid = np.asarray(cam_positions, np.float64).mean(axis=0)
+    d = np.linalg.norm(pts - centroid[None, :], axis=1)
+    return (d * 1.2 ** rng.uniform(0.0, 3.0, len(pts))).astype(np.float32)
 
 
 def make_corridor_world(
@@ -94,7 +111,9 @@ def make_corridor_world(
     poses = lie.SE3(jnp.asarray(np.stack(Rs), jnp.float32),
                     jnp.asarray(np.stack(ts), jnp.float32))
     timestamps = np.arange(n_frames) / fps
-    return SyntheticWorld(pts, desc, poses, timestamps)
+    cam_pos = np.stack([-R.T @ t for R, t in zip(Rs, ts)])
+    return SyntheticWorld(pts, desc, poses, timestamps,
+                          _canonical_distances(pts, cam_pos, rng))
 
 
 def world_from_trajectory(
@@ -162,7 +181,8 @@ def world_from_trajectory(
                     jnp.asarray(np.stack(ts), jnp.float32))
     if timestamps is None:
         timestamps = np.arange(T) / 20.0
-    return SyntheticWorld(pts, desc, poses, np.asarray(timestamps))
+    return SyntheticWorld(pts, desc, poses, np.asarray(timestamps),
+                          _canonical_distances(pts, positions, rng))
 
 
 def render_frame(
@@ -202,6 +222,17 @@ def render_frame(
     n = len(idx)
 
     uv_obs = uv[idx] + rng.randn(n, 2).astype(np.float32) * pixel_noise
+    # multi-scale detection: octave from the distance ratio vs the point's
+    # canonical range, with occasional +-1 level jitter (real pyramids fire
+    # adjacent levels); clamped to the 8-level pyramid
+    if world.ref_dist is not None:
+        dist = np.linalg.norm(pc[idx], axis=1)
+        octv = np.round(np.log(world.ref_dist[idx] /
+                               np.maximum(dist, 1e-6)) / np.log(1.2))
+        octv += (rng.rand(n) < 0.15) * rng.choice([-1, 1], n)
+        octv = np.clip(octv, 0, 7).astype(np.int32)
+    else:
+        octv = np.zeros(n, np.int32)
     desc = world.descriptors[idx].copy()
     # random bit flips
     if desc_bit_flips > 0:
@@ -212,14 +243,16 @@ def render_frame(
 
     f_uv = np.zeros((n_features, 2), np.float32)
     f_desc = np.zeros((n_features, 8), np.uint32)
+    f_oct = np.zeros(n_features, np.int32)
     f_val = np.zeros(n_features, bool)
     f_uv[:n] = uv_obs
     f_desc[:n] = desc
+    f_oct[:n] = octv
     f_val[:n] = True
     return Features(
         uv=jnp.asarray(f_uv),
         response=jnp.asarray(f_val, jnp.float32),
-        octave=jnp.zeros(n_features, jnp.int32),
+        octave=jnp.asarray(f_oct),
         angle=jnp.zeros(n_features, jnp.float32),
         desc=jnp.asarray(f_desc),
         valid=jnp.asarray(f_val),
@@ -246,6 +279,8 @@ class VioSequence(NamedTuple):
     frame_imu: list                # per frame: (acc (N,3), gyro (N,3), t (N,))
     vel: np.ndarray                # (T,3) GT body velocity in world
     gravity: np.ndarray            # (3,)
+    gyro_bias_true: np.ndarray = np.zeros(3)   # injected sensor biases
+    acc_bias_true: np.ndarray = np.zeros(3)
 
 
 def make_vio_sequence(
@@ -320,7 +355,8 @@ def make_vio_sequence(
     pts = rng.uniform(lo, hi, size=(n_points, 3)).astype(np.float32)
     desc = rng.randint(0, 2 ** 32, size=(n_points, 8),
                        dtype=np.uint64).astype(np.uint32)
-    world = SyntheticWorld(pts, desc, poses, timestamps)
+    world = SyntheticWorld(pts, desc, poses, timestamps,
+                           _canonical_distances(pts, centers, rng))
 
     frame_imu = []
     for f in range(n_frames):
@@ -330,7 +366,8 @@ def make_vio_sequence(
                           gyros[sl].astype(np.float32),
                           t_meas.astype(np.float64)))
     return VioSequence(world=world, frame_imu=frame_imu,
-                       vel=np.stack(vels), gravity=g_w)
+                       vel=np.stack(vels), gravity=g_w,
+                       gyro_bias_true=bg, acc_bias_true=ba_)
 
 
 def gt_positions(world: SyntheticWorld) -> np.ndarray:
@@ -367,6 +404,8 @@ def vio_from_gt_trajectory(
     seed: int = 0,
     gyro_noise: float = 0.0,
     acc_noise: float = 0.0,
+    gyro_bias: float = 0.0,
+    acc_bias: float = 0.0,
     point_margin: float = 3.0,
 ) -> VioSequence:
     """Inertial sequence along a REAL ground-truth trajectory (e.g. the
@@ -426,7 +465,9 @@ def vio_from_gt_trajectory(
 
     R_hi = np.stack([quat_to_mat(qv) for qv in q_hi])   # R_wb
 
-    # exactly integrator-consistent IMU synthesis
+    # exactly integrator-consistent IMU synthesis (+ injected sensor biases)
+    bg = rng.randn(3) * gyro_bias
+    ba_ = rng.randn(3) * acc_bias
     v = (p_hi[1] - p_hi[0]) / dt
     accs = np.zeros((total - 1, 3))
     gyros = np.zeros((total - 1, 3))
@@ -440,8 +481,8 @@ def vio_from_gt_trajectory(
         a_w = 2.0 * (p_hi[k + 1] - p_hi[k] - v * dt) / (dt * dt)
         dR = R_hi[k].T @ R_hi[k + 1]
         w_b = np.asarray(lie.so3_log(jnp.asarray(dR))) / dt
-        accs[k] = R_hi[k].T @ (a_w - g_w) + rng.randn(3) * acc_noise
-        gyros[k] = w_b + rng.randn(3) * gyro_noise
+        accs[k] = R_hi[k].T @ (a_w - g_w) + ba_ + rng.randn(3) * acc_noise
+        gyros[k] = w_b + bg + rng.randn(3) * gyro_noise
         v = v + a_w * dt
     # final frame pose
     Rs_cw.append(R_hi[-1].T)
@@ -456,7 +497,8 @@ def vio_from_gt_trajectory(
     desc = rng.randint(0, 2 ** 32, size=(n_points, 8),
                        dtype=np.uint64).astype(np.uint32)
     world = SyntheticWorld(pts, desc, poses,
-                           (t[: n_frames]).astype(np.float64))
+                           (t[: n_frames]).astype(np.float64),
+                           _canonical_distances(pts, p_hi[::n_imu], rng))
 
     # frame_imu[f] covers (t[f], t[f+1]] — same convention as
     # make_vio_sequence (drivers feed frame_imu[k-1] with frame k)
@@ -469,4 +511,4 @@ def vio_from_gt_trajectory(
                           t_meas.astype(np.float64)))
     return VioSequence(world=world, frame_imu=frame_imu,
                        vel=np.stack(vels_frame),
-                       gravity=g_w)
+                       gravity=g_w, gyro_bias_true=bg, acc_bias_true=ba_)

@@ -297,32 +297,156 @@ class System:
         return vocab.words if hasattr(vocab, "words") else vocab.node_desc
 
     def save_atlas(self, path: str) -> None:
+        """Full-session checkpoint (reference System::SaveAtlas,
+        system.cc:1391-1527): the ACTIVE map, every ARCHIVED atlas map with
+        its BoW rows, the per-keyframe inertial state incl. the raw IMU
+        windows (so preintegrations re-linearize exactly on resume), and
+        the persisted loop edges."""
+        from .io.serialization import map_to_arrays
+        t = self.tracker
         vocab = self._vocab_words()
         extras = {}
-        if hasattr(self.tracker, "kf_uright"):
-            extras["kf_uright"] = self.tracker.kf_uright
-        save_map(path, self.tracker.map, vocab, **extras)
-        Verbose.log(f"atlas saved to {path}", Verbose.NORMAL)
+        if hasattr(t, "kf_uright"):
+            extras["kf_uright"] = t.kf_uright
+        # archived atlas maps + their BoW matrices
+        extras["n_archived"] = np.int64(len(t.atlas.archived))
+        for i, am in enumerate(t.atlas.archived):
+            for k, v in map_to_arrays(am.map, prefix=f"arch{i}_").items():
+                extras[k] = v
+            extras[f"arch{i}_bow"] = am.bow
+            extras[f"arch{i}_present"] = am.present
+        # inertial per-keyframe state (velocities, biases, times, raw
+        # measurement windows — reference: KF serialization carries
+        # mpImuPreintegrated + velocity + biases, keyframe.h:146-188)
+        if hasattr(t, "imu_initialized"):
+            n = len(t.kf_vel)
+            extras["imu_meta"] = np.array(
+                [float(t.imu_initialized), float(t._imu_stage),
+                 float(t._imu_init_time)], np.float64)
+            extras["imu_cur"] = np.concatenate([
+                np.asarray(t.bias.gyro, np.float64),
+                np.asarray(t.bias.acc, np.float64),
+                np.asarray(t.cur_vel, np.float64)])
+            extras["kf_vel"] = (np.stack(t.kf_vel) if n
+                                else np.zeros((0, 3), np.float32))
+            extras["kf_bias"] = (np.stack(
+                [np.concatenate([np.asarray(b.gyro), np.asarray(b.acc)])
+                 for b in t.kf_bias]) if n else np.zeros((0, 6), np.float32))
+            extras["kf_time"] = np.asarray(t.kf_time, np.float64)
+            accs, gyrs, dts, lens = [], [], [], []
+            for raw in t.kf_raw:
+                if raw is None:
+                    lens.append(0)
+                else:
+                    a, g, d = raw
+                    lens.append(len(d))
+                    accs.append(np.asarray(a, np.float64))
+                    gyrs.append(np.asarray(g, np.float64))
+                    dts.append(np.asarray(d, np.float64))
+            extras["imu_raw_acc"] = (np.concatenate(accs) if accs
+                                     else np.zeros((0, 3)))
+            extras["imu_raw_gyro"] = (np.concatenate(gyrs) if gyrs
+                                      else np.zeros((0, 3)))
+            extras["imu_raw_dt"] = (np.concatenate(dts) if dts
+                                    else np.zeros(0))
+            extras["imu_raw_len"] = np.asarray(lens, np.int64)
+        # persisted loop edges (relative Sim3 measurements)
+        lc = t.loop_closer
+        if lc is not None and lc.loop_edges:
+            extras["loop_i"] = np.asarray(
+                [e[0] for e in lc.loop_edges], np.int64)
+            extras["loop_j"] = np.asarray(
+                [e[1] for e in lc.loop_edges], np.int64)
+            extras["loop_s"] = np.stack(
+                [np.asarray(e[2].s) for e in lc.loop_edges])
+            extras["loop_R"] = np.stack(
+                [np.asarray(e[2].R) for e in lc.loop_edges])
+            extras["loop_t"] = np.stack(
+                [np.asarray(e[2].t) for e in lc.loop_edges])
+        save_map(path, t.map, vocab, **extras)
+        Verbose.log(f"atlas saved to {path} "
+                    f"({len(t.atlas.archived)} archived maps)",
+                    Verbose.NORMAL)
 
     def load_atlas(self, path: str) -> None:
+        from .io.serialization import map_from_arrays
+        from .map.atlas import ArchivedMap
         vocab = self._vocab_words()
         m, extras = load_map(path, vocab)
+        t = self.tracker
         # trajectory so far was relative to the outgoing map's keyframes
-        self.tracker._freeze_trajectory()
-        self.tracker.map = m
-        if "kf_uright" in extras and hasattr(self.tracker, "kf_uright"):
-            self.tracker.kf_uright = extras["kf_uright"]
-        # rebuild the BoW database for relocalization/loops
-        if self.tracker.loop_closer is not None:
+        t._freeze_trajectory()
+        t.map = m
+        if "kf_uright" in extras and hasattr(t, "kf_uright"):
+            t.kf_uright = extras["kf_uright"]
+        # archived atlas maps
+        t.atlas.archived = []
+        for i in range(int(extras.get("n_archived", 0))):
+            pre = f"arch{i}_"
+            am = map_from_arrays(
+                lambda name: (np.asarray(extras[name])
+                              if name in extras else None), prefix=pre)
+            t.atlas.archived.append(ArchivedMap(
+                am, extras[pre + "bow"], extras[pre + "present"]))
+        # inertial state
+        if hasattr(t, "imu_initialized") and "imu_meta" in extras:
+            from .imu.preintegration import ImuBias, preintegrate_host
+            meta = np.asarray(extras["imu_meta"])
+            t.imu_initialized = bool(meta[0] > 0.5)
+            t._imu_stage = int(meta[1])
+            t._imu_init_time = float(meta[2])
+            cur = np.asarray(extras["imu_cur"])
+            t.bias = ImuBias(jnp.asarray(cur[0:3], jnp.float32),
+                             jnp.asarray(cur[3:6], jnp.float32))
+            t.cur_vel = jnp.asarray(cur[6:9], jnp.float32)
+            kf_vel = np.asarray(extras["kf_vel"])
+            kf_bias = np.asarray(extras["kf_bias"])
+            t.kf_vel = [kf_vel[k] for k in range(len(kf_vel))]
+            t.kf_bias = [ImuBias(jnp.asarray(kf_bias[k, :3], jnp.float32),
+                                 jnp.asarray(kf_bias[k, 3:], jnp.float32))
+                         for k in range(len(kf_bias))]
+            t.kf_time = [float(x) for x in np.asarray(extras["kf_time"])]
+            lens = np.asarray(extras["imu_raw_len"])
+            acc = np.asarray(extras["imu_raw_acc"])
+            gyr = np.asarray(extras["imu_raw_gyro"])
+            dts = np.asarray(extras["imu_raw_dt"])
+            t.kf_raw, t.kf_pre = [], []
+            off = 0
+            for k, ln in enumerate(lens):
+                if ln == 0:
+                    t.kf_raw.append(None)
+                    t.kf_pre.append(None)
+                else:
+                    raw = (acc[off:off + ln], gyr[off:off + ln],
+                           dts[off:off + ln])
+                    off += ln
+                    t.kf_raw.append(raw)
+                    t.kf_pre.append(preintegrate_host(
+                        *raw, t.kf_bias[k], t.calib))
+            t._prior = None
+        # rebuild the BoW database for relocalization/loops + loop edges
+        if t.loop_closer is not None:
             for k in range(int(m.n_kf)):
                 if bool(m.kf_valid[k]):
-                    self.tracker.loop_closer.add_keyframe(
+                    t.loop_closer.add_keyframe(
                         k, m.kf_desc[k], m.kf_feat_valid[k])
+            if "loop_i" in extras:
+                li = np.asarray(extras["loop_i"])
+                lj = np.asarray(extras["loop_j"])
+                ls = np.asarray(extras["loop_s"])
+                lR = np.asarray(extras["loop_R"])
+                lt = np.asarray(extras["loop_t"])
+                t.loop_closer.loop_edges = [
+                    (int(li[e]), int(lj[e]),
+                     lie.Sim3(jnp.asarray(ls[e]), jnp.asarray(lR[e]),
+                              jnp.asarray(lt[e])))
+                    for e in range(len(li))]
         from .engine.tracker import TrackState
-        self.tracker.state = TrackState.LOST  # relocalize into the map
-        self.tracker.lost_since = self.tracker.frame_id
+        t.state = TrackState.LOST  # relocalize into the map
+        t.lost_since = t.frame_id
         Verbose.log(f"atlas loaded from {path} "
-                    f"({int(m.n_kf)} KFs, {int(m.n_mp)} points)",
+                    f"({int(m.n_kf)} KFs, {int(m.n_mp)} points, "
+                    f"{len(t.atlas.archived)} archived maps)",
                     Verbose.NORMAL)
 
     # -- instrumentation (reference REGISTER_TIMES, tracking.h:330-336) ----

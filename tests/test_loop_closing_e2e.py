@@ -33,6 +33,22 @@ class FakeTracker:
                                 m.kf_pose.t[last_kf_id])
         self.velocity = lie.se3_identity()
 
+    def _reset_prior(self):
+        pass
+
+
+def drive_loop_closer(closer, tracker, m, K):
+    """Feed the tail keyframes one by one (temporal consistency needs the
+    candidate region re-detected over >=3 consecutive keyframes,
+    reference loopclosing.cc:303-391)."""
+    closed = False
+    for k in range(max(0, K - 5), K):
+        tracker.last_kf_id = k
+        tracker.cur_pose = lie.SE3(tracker.map.kf_pose.R[k],
+                                   tracker.map.kf_pose.t[k])
+        closed = closer.try_close(tracker) or closed
+    return closed
+
 
 def build_drifted_loop_map(K=20, n_world=3000, seed=0):
     """Circle of K keyframes with compounding drift; KF K-1 revisits KF 0."""
@@ -127,8 +143,9 @@ def test_loop_detect_and_correct():
     for k in range(K):
         closer.add_keyframe(k, m.kf_desc[k], m.kf_feat_valid[k])
 
-    closed = closer.try_close(tracker)
+    closed = drive_loop_closer(closer, tracker, m, K)
     assert closed, "loop was not detected/closed"
+    assert len(closer.loop_edges) == 1  # edge persisted for later solves
 
     # after correction the keyframe poses should match GT up to the global
     # gauge anchored at the loop candidate keyframe
@@ -177,7 +194,7 @@ def test_loop_closing_with_tree_vocabulary(tmp_path):
     for k in range(K):
         closer.add_keyframe(k, m.kf_desc[k], m.kf_feat_valid[k])
 
-    closed = closer.try_close(tracker)
+    closed = drive_loop_closer(closer, tracker, m, K)
     assert closed, "loop was not detected/closed with tree vocabulary"
 
     mm = tracker.map
@@ -190,3 +207,61 @@ def test_loop_closing_with_tree_vocabulary(tmp_path):
     from orb_slam_fusion_tpu.io import ate_rmse
     err = ate_rmse(centers, gt_centers, with_scale=False)
     assert err < 0.25, f"post-correction ATE {err:.3f}"
+
+
+def test_aliased_single_hit_rejected():
+    """Perceptual-aliasing stress (round-1 verdict item #6): ONE keyframe
+    whose descriptors mimic a far-away scene but whose geometry differs must
+    NOT close a loop. The temporal-consistency window (>=3 consecutive
+    keyframe hits, reference loopclosing.cc:303-391) rejects the one-off
+    hit before any Sim3 machinery runs; even when verification is reached,
+    the Sim3-guided projection validation (loopclosing.cc:640-813) fails on
+    the inconsistent geometry."""
+    rng = np.random.RandomState(7)
+    K = 18
+    n_feat = N_FEAT
+    cfg = SlamConfig(cam_params=CAM, image_size=(480, 752),
+                     orb=OrbParams(n_features=n_feat),
+                     max_keyframes=K + 4, max_map_points=8192)
+    m = ms.make_empty_map(K + 4, 8192, n_feat)
+    cam = jnp.asarray(CAM)
+
+    head_desc = rng.randint(0, 2 ** 32, (n_feat, 8),
+                            dtype=np.uint64).astype(np.uint32)
+    for k in range(K):
+        # straight corridor, no revisit
+        pose_k = lie.SE3(jnp.eye(3),
+                         jnp.asarray([0.0, 0.0, -0.5 * k], jnp.float32))
+        pos = rng.uniform(-3, 3, (n_feat, 3)).astype(np.float32)
+        pos[:, 2] += 0.5 * k + 5.0
+        uv = np.asarray(cameras.pinhole_project(
+            cam, jnp.asarray(pos - np.array([0, 0, -0.5 * k],
+                                            np.float32))))
+        if k == 0 or k == K - 2:
+            # aliased pair: SAME descriptors, DIFFERENT geometry
+            desc = head_desc
+        else:
+            desc = rng.randint(0, 2 ** 32, (n_feat, 8),
+                               dtype=np.uint64).astype(np.uint32)
+        f_val = np.ones(n_feat, bool)
+        mn, mx = ms.scale_invariance_band(
+            jnp.asarray(np.linalg.norm(pos, axis=1)),
+            jnp.zeros(n_feat, jnp.int32), cfg.orb.num_levels)
+        m, mp_ids = ms.add_map_points(
+            m, jnp.asarray(pos), jnp.asarray(desc),
+            jnp.asarray(pos / np.linalg.norm(pos, axis=1, keepdims=True)),
+            jnp.int32(k), jnp.int32(k), jnp.asarray(f_val),
+            min_dist=mn, max_dist=mx)
+        m, _ = ms.add_keyframe(
+            m, pose_k, float(k), jnp.asarray(uv.astype(np.float32)),
+            jnp.asarray(desc), jnp.zeros(n_feat, jnp.int32),
+            jnp.asarray(f_val), mp_ids)
+
+    tracker = FakeTracker(m, CAM, K - 1)
+    closer = LoopCloser(cfg, cfg.max_keyframes, vocab_words=2048)
+    for k in range(K):
+        closer.add_keyframe(k, m.kf_desc[k], m.kf_feat_valid[k])
+
+    closed = drive_loop_closer(closer, tracker, m, K)
+    assert not closed, "aliased one-off hit must not close a loop"
+    assert closer.num_closed == 0

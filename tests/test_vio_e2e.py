@@ -28,7 +28,10 @@ CFG = SlamConfig(
     loop_closing=False,
 )
 
-N_FRAMES = 100
+# 8 s of trajectory: long enough for the staged re-initialization (VIBA1 at
+# t>5 s, reference localmapping.cc:148-199) to fire — the multi-scale sim
+# leaves ~5% visual scale drift that only the full inertial re-solve removes
+N_FRAMES = 160
 
 
 @pytest.fixture(scope="module")
