@@ -120,8 +120,8 @@ def run_sequence_stereo_imu(seq: str, n_frames: int) -> float:
     return ate
 
 
-def run_sequence(seq: str, n_frames: int) -> float:
-    positions, t = load_euroc_gt(seq, max_frames=n_frames)
+def run_sequence(seq: str, n_frames: int, stride: int = 10) -> float:
+    positions, t = load_euroc_gt(seq, stride=stride, max_frames=n_frames)
     world = sim.world_from_trajectory(positions, n_points=8000, seed=1,
                                      timestamps=t)
     cfg = SlamConfig(
@@ -167,6 +167,9 @@ if __name__ == "__main__":
                     default=["MH01"],
                     help="e.g. MH01 MH02 V101 V201")
     ap.add_argument("--frames", type=int, default=150)
+    ap.add_argument("--stride", type=int, default=10,
+                    help="GT subsampling for mono mode (GT is ~20 Hz; "
+                         "stride=1 keeps camera rate for full-length runs)")
     ap.add_argument("--mode", choices=["mono", "stereo-imu"],
                     default="mono")
     args = ap.parse_args()
@@ -174,4 +177,4 @@ if __name__ == "__main__":
         if args.mode == "stereo-imu":
             run_sequence_stereo_imu(s, args.frames)
         else:
-            run_sequence(s, args.frames)
+            run_sequence(s, args.frames, stride=args.stride)

@@ -53,6 +53,17 @@ class SlamConfig(NamedTuple):
     ba_iters_second: int = 10
     min_parallax_deg: float = 1.0       # new-point triangulation gate
     culling_found_ratio: float = 0.25   # reference MapPointCulling threshold
+    tri_covisible: int = 0              # extra best-covisible triangulation
+                                        # neighbours besides the 3-KF
+                                        # temporal chain (reference: 10-30
+                                        # covisible, localmapping.cc:317).
+                                        # Default off: on noisy mono-VIO the
+                                        # long-baseline re-triangulations
+                                        # destabilize the scale estimate —
+                                        # measured 0.006 -> 0.23 m ATE on
+                                        # the staged-init sim; needs the
+                                        # reference's full epipole-distance
+                                        # + scale-consistency gates first
 
     # initialization
     init_min_matches: int = 80
@@ -71,3 +82,17 @@ class SlamConfig(NamedTuple):
     loop_consistency_th: int = 3
     loop_proj_matches: int = 50
     loop_proj_matches_ref: int = 80
+
+    # background (chunked) execution: spread keyframe-rate local BA and
+    # loop-closure global BA over the following tracked frames as device
+    # chunks instead of paying them inline on the keyframe frame
+    # (reference: LocalMapping/GBA threads overlapped with tracking)
+    background_lba: bool = True
+    background_gba: bool = True
+
+    # distributed execution (SURVEY §2.3 north star): 0 = single-device;
+    # N > 0 routes per-frame tracking through the map-sharded mesh program
+    # (parallel/dist_track.py), and local BA + loop-closure GBA through the
+    # landmark-sharded distributed Schur reduction (parallel/dist_ba.py)
+    # over a min(N, available-devices)-device jax.sharding.Mesh
+    mesh_devices: int = 0

@@ -69,6 +69,70 @@ def _make_vocabulary(cfg, vocab_words: int):
     return make_vocabulary(vocab_words), 0
 
 
+class ChunkedGBA:
+    """Abortable, host-interleaved global bundle adjustment.
+
+    The reference runs GlobalBundleAdjustemnt on a background thread with a
+    cooperative abort flag (loopclosing.cc:1104-1105 spawn, mbStopGBA
+    polled inside the g2o loop, RunGlobalBundleAdjustment correction
+    propagation at loopclosing.cc:2117-2327). The TPU-native equivalent:
+    the LM carry (poses, points, lam, cost) stays device-resident, and the
+    tracker advances the solve by a fixed-size `lm_chunk` dispatch per
+    tracked frame — no host sync, so tracking programs queue between GBA
+    chunks and a new loop/merge/compaction can drop the whole solve without
+    ever blocking a frame. On completion the result is merged into the
+    LIVE map: snapshot rows adopt the optimized values; keyframes created
+    during the solve are corrected through their relative pose to the
+    newest snapshot keyframe, and new points through their reference
+    keyframe (the spanning-tree correction propagation of
+    loopclosing.cc:2162-2230)."""
+
+    def __init__(self, tracker, cfg, iters_first: int = 3,
+                 iters_second: int = 7, chunk: int = 2):
+        from ..solver import ba as ba_mod
+        from ..frontend import extractor
+        m = tracker.map
+        self.cfg = cfg
+        self.cam_model = cfg.cam_model
+        self.snap_n_kf = int(m.n_kf)
+        self.snap_n_mp = int(m.n_mp)
+        n_kf = self.snap_n_kf
+        window = jnp.arange(m.max_kf, dtype=jnp.int32)
+        window = jnp.where(window < n_kf, window, -1)
+        kf_idx, mp_idx, uv, octv, valid = ms.observation_triples(m, window)
+        inv_s2 = extractor.inv_scale_sigma2(cfg.orb)[
+            jnp.clip(octv, 0, cfg.orb.num_levels - 1)]
+        fixed = np.ones(m.max_kf, bool)
+        fixed[1:n_kf] = False
+        prob = ba_mod.make_problem(
+            m.kf_pose, m.mp_pos, kf_idx, mp_idx, uv, inv_s2, valid,
+            jnp.asarray(fixed), tracker.cam_params,
+            fixed_point=~m.mp_valid, max_obs=16)
+        self.lm = ba_mod.ChunkedLM(prob, self.cam_model, iters_first,
+                                   iters_second, chunk)
+
+    @property
+    def prob(self):
+        return self.lm.prob
+
+    @property
+    def poses(self):
+        return self.lm.poses
+
+    @property
+    def points(self):
+        return self.lm.points
+
+    @property
+    def done(self) -> bool:
+        return self.lm.done
+
+    def step(self) -> bool:
+        """Advance by one device chunk. Returns True when finished. No
+        host<->device synchronization happens here."""
+        return self.lm.step()
+
+
 class LoopCloser:
     def __init__(self, cfg, max_kf: int, vocab_words: int = 4096,
                  fix_scale: bool = False):
@@ -98,6 +162,9 @@ class LoopCloser:
         # keyframe.h:237-243): every accepted closure's relative Sim3 enters
         # all later essential-graph solves so repeated closures reinforce
         self.loop_edges: list = []   # [(i, j, lie.Sim3 rel i->j)]
+        # in-flight chunked global BA (reference: background GBA thread)
+        self.pending_gba: Optional[ChunkedGBA] = None
+        self.background_gba = bool(getattr(cfg, "background_gba", True))
 
     # -- database maintenance (called by the tracker on KF insert) ---------
 
@@ -107,6 +174,9 @@ class LoopCloser:
     def on_kf_remap(self, old_to_new, order) -> None:
         """Follow a keyframe-table compaction: permute BoW rows and remap
         stored keyframe ids."""
+        # a compaction moves rows out from under an in-flight GBA snapshot
+        # — abort it (reference: mbStopGBA on map rewrite)
+        self.pending_gba = None
         self.db.permute(order)
         if self.last_loop_kf >= 0:
             n = int(old_to_new[self.last_loop_kf]) \
@@ -348,12 +418,17 @@ class LoopCloser:
             return lie.Sim3(poses.s[k], poses.R[k], poses.t[k])
 
         # ---- essential-graph edges ------------------------------------
-        # sequential (spanning-tree analogue) edges from current estimates
-        edge_i = list(range(K - 1))
-        edge_j = list(range(1, K))
-        rels = [lie.sim3_compose(sim_of(k + 1), lie.sim3_inverse(sim_of(k)))
-                for k in range(K - 1)]
-        weights = [1.0] * (K - 1)
+        # temporal spanning tree over the LIVE keyframes: culled rows are
+        # skipped and their neighbours chain directly (reference: the
+        # spanning tree re-parents children of erased keyframes,
+        # keyframe.cc SetBadFlag; culled rows here must not anchor edges)
+        live = np.nonzero(np.asarray(m.kf_valid[:K]))[0]
+        edge_i = [int(a) for a in live[:-1]]
+        edge_j = [int(b) for b in live[1:]]
+        rels = [lie.sim3_compose(sim_of(int(b)),
+                                 lie.sim3_inverse(sim_of(int(a))))
+                for a, b in zip(live[:-1], live[1:])]
+        weights = [1.0] * len(rels)
         # strong covisibility edges (weight >= 30 shared points)
         Wc = np.asarray(ms.covisibility_matrix(m))[:K, :K]
         strong = np.argwhere(np.triu(Wc, 2) >= 30)
@@ -383,6 +458,7 @@ class LoopCloser:
         rel_b = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *rels)
         fixed = np.zeros(K, bool)
         fixed[cand] = True
+        fixed |= ~np.asarray(m.kf_valid[:K])   # culled rows: no edges, pin
 
         prob = PoseGraphProblem(
             poses=poses,
@@ -423,7 +499,10 @@ class LoopCloser:
             kf_pose=lie.SE3(kf_R, kf_t),
             mp_pos=mp_pos,
         )
-        # keep tracker state consistent with the rewritten map
+        # keep tracker state consistent with the rewritten map; an
+        # in-flight background local BA solved the PRE-correction geometry
+        # — drop it (reference: mbAbortBA before CorrectLoop's rewrite)
+        tracker._pending_lba = None
         tracker.cur_pose = lie.SE3(kf_R[cur], kf_t[cur])
         tracker.velocity = lie.se3_identity()
         tracker._reset_prior()
@@ -435,48 +514,103 @@ class LoopCloser:
 
         # ---- global BA (reference: RunGlobalBundleAdjustment thread,
         # loopclosing.cc:2117; skipped for large maps like the reference
-        # skips essential-graph-only maps >200 KFs) ----------------------
+        # skips maps >200 KFs, loopclosing.cc:1097). A closure while a GBA
+        # is in flight replaces the snapshot (reference aborts the running
+        # GBA before correcting, loopclosing.cc:892-904). ---------------
         if n_kf <= self.max_kf_for_gba:
-            self._global_ba(tracker)
+            if getattr(tracker, "mesh", None) is not None:
+                self._global_ba_dist(tracker)
+            else:
+                self.pending_gba = ChunkedGBA(tracker, self.cfg)
+                if not self.background_gba:
+                    self.gba_drain(tracker)
 
-    def _global_ba(self, tracker) -> None:
-        """Full-map bundle adjustment after a loop correction.
+    # -- chunked background GBA --------------------------------------------
 
-        The reference runs GlobalBundleAdjustemnt in a background thread
-        with an abort flag; here it is a bounded synchronous call (async
-        overlap is a planned optimization). Landmarks with very many
-        observations have their Schur cross terms truncated to max_obs=16 —
-        the dropped terms make the step quasi-Newton, but monotone
-        acceptance in the LM loop still guarantees descent of the true
-        cost.
-        """
-        from ..solver import ba as ba_mod
-        from ..frontend import extractor
+    def gba_tick(self, tracker) -> None:
+        """Advance the in-flight GBA by one device chunk (called once per
+        tracked frame); adopt the result into the live map when done.
+        Landmarks with very many observations have their Schur cross terms
+        truncated to max_obs=16 — the dropped terms make the step
+        quasi-Newton, but monotone acceptance still guarantees descent."""
+        g = self.pending_gba
+        if g is None:
+            return
+        if g.step():
+            self._adopt_gba(tracker)
+
+    def gba_drain(self, tracker) -> None:
+        """Run the in-flight GBA to completion (save/export sync point —
+        the reference joins the GBA thread on Shutdown, system.cc:509)."""
+        while self.pending_gba is not None:
+            self.gba_tick(tracker)
+
+    def _global_ba_dist(self, tracker) -> None:
+        """Loop-closure GBA through the landmark-sharded distributed Schur
+        reduction (parallel/dist_ba.py) when the engine runs on a mesh;
+        the result is merged through the same correction propagation as
+        the chunked path."""
+        from ..parallel.dist_ba import distributed_bundle_adjustment
+        g = ChunkedGBA(tracker, self.cfg)
+        g.lm.poses, g.lm.points, _ = distributed_bundle_adjustment(
+            g.prob, tracker.mesh, cam_model=self.cfg.cam_model, iters=10)
+        g.lm.phase = 2
+        self.pending_gba = g
+        self._adopt_gba(tracker)
+
+    def _adopt_gba(self, tracker) -> None:
+        """Merge a finished GBA into the live map (reference correction
+        propagation under map lock, loopclosing.cc:2162-2327): snapshot
+        rows take the optimized values; keyframes inserted during the
+        solve are corrected through their relative pose to the newest
+        snapshot keyframe, new points through their reference keyframe."""
+        g = self.pending_gba
+        self.pending_gba = None
         m = tracker.map
-        n_kf = int(m.n_kf)
-        window = jnp.arange(m.max_kf, dtype=jnp.int32)
-        window = jnp.where(window < n_kf, window, -1)
-        kf_idx, mp_idx, uv, octv, valid = ms.observation_triples(
-            m, window)
-        inv_s2 = extractor.inv_scale_sigma2(self.cfg.orb)[
-            jnp.clip(octv, 0, self.cfg.orb.num_levels - 1)]
-        fixed = np.ones(m.max_kf, bool)
-        fixed[1:n_kf] = False  # anchor only the first keyframe
-        prob = ba_mod.make_problem(
-            m.kf_pose, m.mp_pos, kf_idx, mp_idx, uv, inv_s2, valid,
-            jnp.asarray(fixed), tracker.cam_params,
-            fixed_point=~m.mp_valid, max_obs=16)
-        new_poses, new_points, inlier, costs = ba_mod.bundle_adjustment(
-            prob, cam_model=self.cfg.cam_model,
-            iters_first=3, iters_second=7)
-        tracker.map = m._replace(
-            kf_pose=new_poses,
-            mp_pos=jnp.where(m.mp_valid[:, None], new_points, m.mp_pos),
-        )
+        K0, M0 = g.snap_n_kf, g.snap_n_mp
+        Kc, Mc = m.max_kf, m.max_mp
+        gR, gt, gpts = g.poses.R, g.poses.t, g.points
+        # tables may have GROWN since the snapshot (doubling growth keeps
+        # row identity, compaction would have aborted the solve) — pad
+        if gR.shape[0] < Kc:
+            pad = Kc - gR.shape[0]
+            gR = jnp.concatenate(
+                [gR, jnp.broadcast_to(jnp.eye(3, dtype=gR.dtype),
+                                      (pad, 3, 3))])
+            gt = jnp.concatenate([gt, jnp.zeros((pad, 3), gt.dtype)])
+        if gpts.shape[0] < Mc:
+            gpts = jnp.concatenate(
+                [gpts, jnp.zeros((Mc - gpts.shape[0], 3), gpts.dtype)])
+        snap_kf = jnp.arange(Kc) < K0
+        snap_mp = jnp.arange(Mc) < M0
+
+        # right-delta anchored at the newest snapshot keyframe: keyframes
+        # created during the solve keep their relative pose to it
+        a = K0 - 1
+        T_a_now = lie.SE3(m.kf_pose.R[a], m.kf_pose.t[a])
+        T_a_corr = lie.SE3(gR[a], gt[a])
+        Dr = lie.se3_compose(lie.se3_inverse(T_a_now), T_a_corr)
+        prop = lie.se3_compose(m.kf_pose, Dr)
+        kf_R = jnp.where(snap_kf[:, None, None], gR, prop.R)
+        kf_t = jnp.where(snap_kf[:, None], gt, prop.t)
+
+        # points: snapshot rows adopt the GBA positions; newer rows follow
+        # their reference keyframe's correction
+        ref = jnp.clip(m.mp_ref_kf, 0, Kc - 1)
+        T_r_now = lie.SE3(m.kf_pose.R[ref], m.kf_pose.t[ref])
+        T_r_corr = lie.SE3(kf_R[ref], kf_t[ref])
+        X_prop = lie.se3_apply(lie.se3_inverse(T_r_corr),
+                               lie.se3_apply(T_r_now, m.mp_pos))
+        mp_pos = jnp.where(snap_mp[:, None], gpts, X_prop)
+        mp_pos = jnp.where(m.mp_valid[:, None], mp_pos, m.mp_pos)
+
+        tracker.map = m._replace(kf_pose=lie.SE3(kf_R, kf_t), mp_pos=mp_pos)
+        tracker._pending_lba = None   # solved pre-GBA geometry — drop
         if tracker.last_kf_id >= 0:
             tracker.cur_pose = lie.SE3(
                 tracker.map.kf_pose.R[tracker.last_kf_id],
                 tracker.map.kf_pose.t[tracker.last_kf_id])
+        tracker._reset_prior()
 
     def _fuse_duplicates(self, tracker, cur: int, cand: int) -> None:
         """Merge map points duplicated across the loop: features of the

@@ -32,6 +32,20 @@ def _triangulate_pair(pose_a: lie.SE3, pose_b: lie.SE3, rays_a, rays_b,
     / reprojection gates. Returns (points_w (N,3), good (N,)).
     """
     T_ba = lie.se3_compose(pose_b, lie.se3_inverse(pose_a))
+
+    # epipolar coplanarity gate BEFORE triangulation (reference:
+    # SearchForTriangulation only accepts matches near the epipolar line,
+    # orb_matcher.cc:817+ CheckDistEpipolarLine) — descriptor-only mutual
+    # matches between weakly-overlapping covisible keyframes need this;
+    # the post-triangulation reprojection checks alone cannot reject a
+    # wrong match that happens to be epipolar-consistent in one view
+    E = lie.hat(T_ba.t) @ T_ba.R                    # essential matrix
+    line = jnp.einsum("ij,nj->ni", E, rays_a)       # epipolar line in b
+    ep = jnp.sum(rays_b * line, axis=-1)
+    sampson = ep * ep / jnp.maximum(
+        line[..., 0] ** 2 + line[..., 1] ** 2, 1e-12)
+    pair_valid = pair_valid & (sampson < (2.0 / 460.0) ** 2)
+
     X_a = cameras.triangulate(rays_a, rays_b, T_ba.R, T_ba.t)
     X_b = lie.se3_apply(T_ba, X_a)
     z_a, z_b = X_a[..., 2], X_b[..., 2]
@@ -55,6 +69,28 @@ def _triangulate_pair(pose_a: lie.SE3, pose_b: lie.SE3, rays_a, rays_b,
         good = good & (z_a < far_threshold) & (z_b < far_threshold)
     X_w = lie.se3_apply(lie.se3_inverse(pose_a), X_a)
     return X_w, good
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def top_covisible(m: ms.MapState, obs: jnp.ndarray, exclude_lo,
+                  k: int = 3) -> jnp.ndarray:
+    """Top-k covisible keyframes of the incoming frame (reference:
+    GetBestCovisibilityKeyFrames feeding CreateNewMapPoints,
+    localmapping.cc:317-329). `obs` is the frame's feature->map-point
+    binding from tracking; covisibility = shared-point count against every
+    keyframe row, one masked gather+reduce. Rows >= exclude_lo (the
+    temporal tail, handled separately) and rows with no sharing are
+    excluded; returns (k,) rows, -1 padded. Stays on device — no sync."""
+    mask = jnp.zeros(m.max_mp + 1, bool).at[
+        jnp.where(obs >= 0, obs, m.max_mp)].set(True, mode="drop")[:m.max_mp]
+    rows = jnp.clip(m.kf_obs_mp, 0, m.max_mp - 1)          # (K, F)
+    shares = jnp.sum(
+        mask[rows] & (m.kf_obs_mp >= 0) & m.kf_feat_valid, axis=1)
+    kfa = jnp.arange(m.max_kf)
+    ok = m.kf_valid & (kfa < exclude_lo)
+    shares = jnp.where(ok, shares, -1)
+    best, ids = jax.lax.top_k(shares, k)
+    return jnp.where(best > 0, ids, -1).astype(jnp.int32)
 
 
 class MappingResult(NamedTuple):

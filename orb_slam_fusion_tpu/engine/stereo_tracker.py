@@ -19,7 +19,7 @@ import numpy as np
 from .. import cameras, lie
 from ..frontend import extractor, matcher
 from ..frontend.stereo import (depth_from_disparity, fisheye_stereo_match,
-                               stereo_match)
+                               stereo_match, subpixel_refine)
 from ..map import map_state as ms
 from ..utils import masked_set
 from .config import SlamConfig
@@ -44,8 +44,14 @@ class StereoTracker(MonoTracker):
 
     def process_stereo_features(self, featsL: extractor.Features,
                                 featsR: extractor.Features,
-                                timestamp: float) -> FrameRecord:
+                                timestamp: float,
+                                images=None) -> FrameRecord:
         u_right, has_stereo = stereo_match(featsL, featsR)
+        if images is not None:
+            # subpixel SAD disparity refinement on the rectified pair
+            # (reference Frame::ComputeStereoMatches, frame.cc:940+)
+            u_right, has_stereo = subpixel_refine(
+                images[0], images[1], featsL.uv, u_right, has_stereo)
         self._cur_uright = u_right
         self._cur_has_stereo = has_stereo
         if self.state in (TrackState.NO_IMAGES, TrackState.NOT_INITIALIZED):
@@ -59,7 +65,8 @@ class StereoTracker(MonoTracker):
                               ) -> FrameRecord:
         fL = extractor.extract_features(imgL, self.cfg.orb)
         fR = extractor.extract_features(imgR, self.cfg.orb)
-        return self.process_stereo_features(fL, fR, timestamp)
+        return self.process_stereo_features(fL, fR, timestamp,
+                                            images=(imgL, imgR))
 
 
     # -- initialization ----------------------------------------------------
@@ -182,6 +189,8 @@ class StereoTracker(MonoTracker):
 
         cfg = self.cfg
         window, fixed, n_in, _ = self._ba_window_arrays(min_fixed=1)
+        if self._start_background_lba(window, fixed, n_in):
+            return
         self.map, costs, n_edges = local_ba_step(
             self.map, jnp.asarray(window), jnp.asarray(fixed),
             extractor.inv_scale_sigma2(cfg.orb), self.cam_params,

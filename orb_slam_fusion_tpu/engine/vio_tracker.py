@@ -429,6 +429,10 @@ class InertialMixin:
         is already gravity-aligned and ~metric, so the correction must be
         near identity — a degenerate solve is rejected instead of applied.
         """
+        # the solve reads ALL keyframe poses and then gauge-transforms the
+        # whole map: a background local BA in flight would both feed it
+        # un-refined geometry and later scatter pre-transform poses back
+        self._lba_drain()
         n_kf = int(self.map.n_kf)
         ifac = self._inertial_factor_batch(0, n_kf)
         if ifac is None or ifac.i.shape[0] < self.init_min_kfs - 2:
@@ -554,6 +558,9 @@ class InertialMixin:
         """Windowed/full visual-inertial BA over keyframe rows `ids`
         (reference LocalInertialBA / FullInertialBA, optimizer.cc:2329/364),
         padded to `Wpad` rows so repeated calls reuse compiled programs."""
+        # a background visual LBA in flight solved the same window rows:
+        # adopt it first so its later write-back can't clobber this solve
+        self._lba_drain()
         cfg = self.cfg
         n_kf = int(self.map.n_kf)
         start = int(ids[0])
@@ -653,11 +660,14 @@ class StereoVioTracker(InertialMixin, StereoTracker):
         self._init_inertial(calib)
 
     def process_stereo_imu(self, featsL, featsR, timestamp, acc, gyro,
-                           meas_t):
+                           meas_t, images=None):
         """Stereo pair + IMU batch (reference System::TrackStereo with
         vImuMeas, system.cc:259)."""
-        from ..frontend.stereo import stereo_match
+        from ..frontend.stereo import stereo_match, subpixel_refine
         u_right, has_stereo = stereo_match(featsL, featsR)
+        if images is not None:
+            u_right, has_stereo = subpixel_refine(
+                images[0], images[1], featsL.uv, u_right, has_stereo)
         self._cur_uright = u_right
         self._cur_has_stereo = has_stereo
         return self.process_frame_imu(featsL, timestamp, acc, gyro, meas_t)

@@ -33,6 +33,12 @@ def hamming_distance(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 
 
+def hamming_distance_rows(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """Paired (N,8)x(N,8) uint32 -> (N,) int32 Hamming distances."""
+    x = jnp.bitwise_xor(d1, d2)
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
 def masked_min2(dist: jnp.ndarray, mask: jnp.ndarray
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-row best and second-best over masked columns.

@@ -115,9 +115,13 @@ def masked_match_pallas(
     uvr = jnp.concatenate([pred_uv, r_eff[:, None], mp_oct], axis=-1)
     kp_oct = (jnp.zeros(N, pred_uv.dtype) if kp_octave is None
               else kp_octave.astype(pred_uv.dtype))
+    # keypoint attribute block padded to 8 rows: the native TPU tile is
+    # (8, 128) — a 3-row operand leaves Mosaic to invent a sublane layout
+    # (2-row worked by luck on hardware; keep this one aligned)
     kp_uvT = jnp.concatenate(
         [jnp.where(kp_valid[None, :], kp_uv.T, 1e9),
-         kp_oct[None, :]], axis=0)                        # (3, N)
+         kp_oct[None, :],
+         jnp.zeros((5, N), pred_uv.dtype)], axis=0)       # (8, N)
     kp_descT = kp_desc.T                                  # (8, N)
     if pad:
         uvr = jnp.pad(uvr, ((0, pad), (0, 0)), constant_values=-1.0)
@@ -139,7 +143,7 @@ def masked_match_pallas(
     best_idx, best, second = pl.pallas_call(
         _match_kernel,
         grid=grid,
-        in_specs=[row4_spec, row8_spec, full(3, N), full(8, N)],
+        in_specs=[row4_spec, row8_spec, full(8, N), full(8, N)],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=out_shape,
         interpret=interpret,

@@ -412,14 +412,10 @@ def _lm_step(poses: lie.SE3, points: jnp.ndarray, lam: jnp.ndarray,
     return new_poses, new_points, active
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cam_model", "iters", "chi2_th", "use_robust"),
-)
-def _lm_run(poses, points, inlier, prob: BAProblem, cam_model: str,
-            iters: int, chi2_th: float, use_robust: bool):
-    dtype = points.dtype
-
+def _lm_scan(poses, points, lam, cost0, inlier, prob: BAProblem,
+             cam_model: str, iters: int, chi2_th: float, use_robust: bool):
+    """`iters` LM iterations from an explicit (lam, cost) carry — the
+    shared core of `_lm_run` (one-shot) and `lm_chunk` (resumable)."""
     th_f = _factor_chi2_th(prob, chi2_th)
 
     def cost_at(ps, pt):
@@ -450,10 +446,116 @@ def _lm_run(poses, points, inlier, prob: BAProblem, cam_model: str,
         cost = jnp.where(accept, cost1, cost0)
         return (poses, points, lam, cost), cost1
 
-    (poses, points, _, _), costs = jax.lax.scan(
-        body, (poses, points, jnp.asarray(1e-4, dtype),
-               cost_at(poses, points)), None, length=iters)
+    (poses, points, lam, cost), costs = jax.lax.scan(
+        body, (poses, points, lam, cost0), None, length=iters)
+    return poses, points, lam, cost, costs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam_model", "iters", "chi2_th", "use_robust"),
+)
+def _lm_run(poses, points, inlier, prob: BAProblem, cam_model: str,
+            iters: int, chi2_th: float, use_robust: bool):
+    dtype = points.dtype
+    cost0 = lm_cost(poses, points, inlier, prob, cam_model, chi2_th)
+    poses, points, _, _, costs = _lm_scan(
+        poses, points, jnp.asarray(1e-4, dtype), cost0, inlier, prob,
+        cam_model, iters, chi2_th, use_robust)
     return poses, points, costs
+
+
+@functools.partial(jax.jit, static_argnames=("cam_model", "chi2_th"))
+def lm_cost(poses, points, inlier, prob: BAProblem, cam_model: str,
+            chi2_th: float = CHI2_2D):
+    """Masked robust cost at a state (the LM accept-test objective)."""
+    th_f = _factor_chi2_th(prob, chi2_th)
+    r, fin = _eval_residuals(poses, points, prob, cam_model)
+    return _robust_cost(r, prob.inv_sigma2,
+                        prob.valid & inlier & fin, th_f)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("cam_model", "chi2_th"))
+def inlier_mask(poses, points, prob: BAProblem, cam_model: str,
+                chi2_th: float = CHI2_2D):
+    """chi2 inlier classification at a state (the between-phase re-mask
+    of the two-phase robust BA pattern, optimizer.cc:1192-1250)."""
+    th_f = _factor_chi2_th(prob, chi2_th)
+    r, fin = _eval_residuals(poses, points, prob, cam_model)
+    chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
+    return (chi2 <= th_f) & fin & prob.valid
+
+
+class ChunkedLM:
+    """Host-side resumable two-phase robust LM over a BAProblem.
+
+    The carry (poses, points, lam, cost, inlier) stays device-resident;
+    `step()` advances by `chunk` iterations as one dispatch with NO
+    host<->device sync, so callers can interleave other device programs
+    between chunks (the TPU-native equivalent of the reference's
+    background BA threads with cooperative abort, loopclosing.cc:1104,
+    localmapping.cc:226 mbAbortBA). Dropping the object aborts the solve.
+    """
+
+    def __init__(self, prob: BAProblem, cam_model: str,
+                 iters_first: int = 5, iters_second: int = 10,
+                 chunk: int = 3, chi2_th: float = CHI2_2D):
+        self.prob = prob
+        self.cam_model = cam_model
+        self.chi2_th = chi2_th
+        self.poses = prob.poses
+        self.points = prob.points
+        self.inlier = jnp.ones_like(prob.valid)
+        self.lam = jnp.asarray(1e-4, prob.points.dtype)
+        self.cost = lm_cost(self.poses, self.points, self.inlier, prob,
+                            cam_model, chi2_th)
+        self.left = [iters_first, iters_second]
+        self.phase = 0
+        self.chunk = chunk
+
+    @property
+    def done(self) -> bool:
+        return self.phase >= 2
+
+    def step(self) -> bool:
+        """Advance one chunk; True when finished."""
+        if self.done:
+            return True
+        n = min(self.chunk, self.left[self.phase])
+        self.poses, self.points, self.lam, self.cost, _ = lm_chunk(
+            self.poses, self.points, self.lam, self.cost, self.inlier,
+            self.prob, self.cam_model, n, self.chi2_th, self.phase == 0)
+        self.left[self.phase] -= n
+        if self.left[self.phase] <= 0:
+            self.phase += 1
+            if self.phase == 1:
+                # between-phase outlier re-mask + trust-region restart
+                # (device ops only — the transition stays async)
+                self.inlier = inlier_mask(self.poses, self.points,
+                                          self.prob, self.cam_model,
+                                          self.chi2_th)
+                self.cost = lm_cost(self.poses, self.points, self.inlier,
+                                    self.prob, self.cam_model, self.chi2_th)
+                self.lam = jnp.asarray(1e-4, self.points.dtype)
+        return self.done
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam_model", "iters", "chi2_th", "use_robust"),
+)
+def lm_chunk(poses, points, lam, cost, inlier, prob: BAProblem,
+             cam_model: str, iters: int, chi2_th: float, use_robust: bool):
+    """Resumable LM: run `iters` iterations from an explicit carry and
+    return the updated carry. This is the device program behind the
+    chunked/abortable global BA (the reference runs GBA on a background
+    thread polled through mbStopGBA, loopclosing.cc:1104-1105,2117; here
+    the equivalent is host-interleaved fixed-size device chunks whose carry
+    never syncs to the host, so tracking work queues between chunks)."""
+    poses, points, lam, cost, costs = _lm_scan(
+        poses, points, lam, cost, inlier, prob, cam_model, iters,
+        chi2_th, use_robust)
+    return poses, points, lam, cost, costs
 
 
 def bundle_adjustment(

@@ -154,7 +154,8 @@ class System:
         fL = extractor.extract_features(imgL, self.tracker.cfg.orb)
         fR = extractor.extract_features(imgR, self.tracker.cfg.orb)
         return self.tracker.process_stereo_imu(fL, fR, timestamp,
-                                               acc, gyro, t)
+                                               acc, gyro, t,
+                                               images=(imgL, imgR))
 
     def _rectify(self, imgL, imgR):
         """Per-frame stereo rectification for unrectified pinhole rigs
@@ -199,18 +200,32 @@ class System:
 
     # -- outputs (reference system.cc:558-1275) ----------------------------
 
+    def _sync_background(self) -> None:
+        """Sync point before exports/checkpoints: run any in-flight chunked
+        GBA to completion so outputs see the corrected map (reference joins
+        the GBA thread in Shutdown, system.cc:509-551)."""
+        if hasattr(self.tracker, "_lba_drain"):
+            self.tracker._lba_drain()
+        lc = self.tracker.loop_closer
+        if lc is not None:
+            lc.gba_drain(self.tracker)
+
     def save_trajectory_tum(self, path: str) -> None:
+        self._sync_background()
         save_tum(path, self.tracker.trajectory_tum())
 
     def save_trajectory_euroc(self, path: str) -> None:
+        self._sync_background()
         save_euroc(path, self.tracker.trajectory_tum())
 
     def save_trajectory_kitti(self, path: str) -> None:
+        self._sync_background()
         poses = [lie.se3_inverse(Tcw)
                  for _, Tcw in self.tracker.resolved_poses()]
         save_kitti(path, poses)
 
     def save_keyframe_trajectory_tum(self, path: str) -> None:
+        self._sync_background()
         m = self.tracker.map
         rows = []
         for k in range(int(m.n_kf)):
@@ -225,6 +240,7 @@ class System:
 
     def save_keyframe_trajectory_euroc(self, path: str) -> None:
         """Reference System::SaveKeyFrameTrajectoryEuRoC (system.cc)."""
+        self._sync_background()
         m = self.tracker.map
         rows = []
         for k in range(int(m.n_kf)):
@@ -303,6 +319,7 @@ class System:
         windows (so preintegrations re-linearize exactly on resume), and
         the persisted loop edges."""
         from .io.serialization import map_to_arrays
+        self._sync_background()
         t = self.tracker
         vocab = self._vocab_words()
         extras = {}

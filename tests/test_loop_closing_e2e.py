@@ -47,6 +47,9 @@ def drive_loop_closer(closer, tracker, m, K):
         tracker.cur_pose = lie.SE3(tracker.map.kf_pose.R[k],
                                    tracker.map.kf_pose.t[k])
         closed = closer.try_close(tracker) or closed
+    # the production engine ticks the chunked background GBA per frame;
+    # this harness has no frame loop, so drain it before asserting
+    closer.gba_drain(tracker)
     return closed
 
 

@@ -71,6 +71,10 @@ def main():
     ap.add_argument("--obs", type=int, default=4, help="observations/point")
     ap.add_argument("--dist", action="store_true",
                     help="also run the landmark-sharded distributed BA")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="mesh size for --dist (0 = all devices); use with "
+                         "xla_force_host_platform_device_count to sweep the "
+                         "1/2/4/8 scaling table")
     args = ap.parse_args()
 
     import jax
@@ -118,7 +122,7 @@ def main():
 
         from orb_slam_fusion_tpu.parallel import (
             distributed_bundle_adjustment, make_slam_mesh)
-        mesh = make_slam_mesh()
+        mesh = make_slam_mesh(args.devices or None)
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
         @functools.partial(jax.jit, static_argnames=("reps",))
