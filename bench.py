@@ -95,6 +95,13 @@ def main():
     import jax
     if os.environ.get("OSF_BENCH_CPU") == "1":   # smoke-test path
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: the three scan programs (k_short/k_long/1)
+    # embed the whole mapping+local-BA pipeline and take minutes to compile
+    # through the remote-chip tunnel on a cold start; cached, a re-run (the
+    # driver's end-of-round invocation) skips straight to measurement
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from orb_slam_fusion_tpu import lie
@@ -186,7 +193,10 @@ def main():
 
     k_short, k_long = 16, 64
     for k in (k_short, k_long):       # compile both lengths
+        t0 = time.perf_counter()
         c = run(k)
+        print(f"compile+first-run k={k}: {time.perf_counter() - t0:.1f} s",
+              file=sys.stderr)
     t = {}
     for k in (k_short, k_long):       # best of 3 to shed scheduling noise
         t[k] = min(

@@ -36,6 +36,22 @@ from orb_slam_fusion_tpu.io import ate_rmse  # noqa: E402
 GT_DIR = "/root/reference/evaluation/Ground_truth/EuRoC_left_cam"
 
 
+def density_points(positions, margin=3.0, per_m3=6.0,
+                   lo_cap=8000, hi_cap=60000):
+    """World-point budget for a trajectory's bounding volume.
+
+    The synthetic world fills the trajectory's bounding box; a FIXED point
+    count makes scene density (and therefore per-frame feature count) a
+    function of how much of the sequence is run — full-length MH01 at
+    8,000 points is ~1.7 pts/m^3, which starves every frustum to <100
+    visible points and loses tracking where real imagery would supply
+    hundreds of corners. Budget by volume instead so the per-frame feature
+    supply matches the short-sequence protocol at any length."""
+    span = positions.max(0) - positions.min(0) + 2 * margin
+    vol = float(span[0] * span[1] * span[2])
+    return int(np.clip(per_m3 * vol, lo_cap, hi_cap))
+
+
 def load_euroc_gt(seq: str, stride: int = 10, max_frames: int = 200,
                   with_quats: bool = False):
     """GT file -> (positions (T,3), timestamps (T,)[, quats (T,4) wxyz]).
@@ -69,7 +85,8 @@ def run_sequence_stereo_imu(seq: str, n_frames: int) -> float:
     t = t[first:first + n_frames]
     # honest protocol: noisy, biased IMU (round-1 EVAL used noise-free
     # integrator-consistent IMU, which overstated fidelity)
-    vio = sim.vio_from_gt_trajectory(positions, quats, t, n_points=9000,
+    vio = sim.vio_from_gt_trajectory(positions, quats, t,
+                                     n_points=density_points(positions),
                                      seed=1, gyro_noise=1.7e-4,
                                      acc_noise=2e-3, gyro_bias=0.002,
                                      acc_bias=0.02)
@@ -122,8 +139,9 @@ def run_sequence_stereo_imu(seq: str, n_frames: int) -> float:
 
 def run_sequence(seq: str, n_frames: int, stride: int = 10) -> float:
     positions, t = load_euroc_gt(seq, stride=stride, max_frames=n_frames)
-    world = sim.world_from_trajectory(positions, n_points=8000, seed=1,
-                                     timestamps=t)
+    world = sim.world_from_trajectory(positions,
+                                      n_points=density_points(positions),
+                                      seed=1, timestamps=t)
     cfg = SlamConfig(
         cam_params=(400.0, 400.0, 376.0, 240.0),
         image_size=(480, 752),

@@ -418,19 +418,28 @@ class LoopCloser:
             return lie.Sim3(poses.s[k], poses.R[k], poses.t[k])
 
         # ---- essential-graph edges ------------------------------------
-        # temporal spanning tree over the LIVE keyframes: culled rows are
-        # skipped and their neighbours chain directly (reference: the
-        # spanning tree re-parents children of erased keyframes,
-        # keyframe.cc SetBadFlag; culled rows here must not anchor edges)
+        # covisibility spanning tree over the LIVE keyframes (reference:
+        # each keyframe's tree parent is its most-covisible predecessor,
+        # keyframe.cc ChangeParent/UpdateConnections; children of erased
+        # keyframes are re-parented, SetBadFlag — culled rows here must
+        # not anchor edges). Falls back to the previous live keyframe when
+        # a keyframe shares no points with any predecessor.
         live = np.nonzero(np.asarray(m.kf_valid[:K]))[0]
-        edge_i = [int(a) for a in live[:-1]]
-        edge_j = [int(b) for b in live[1:]]
-        rels = [lie.sim3_compose(sim_of(int(b)),
-                                 lie.sim3_inverse(sim_of(int(a))))
-                for a, b in zip(live[:-1], live[1:])]
-        weights = [1.0] * len(rels)
-        # strong covisibility edges (weight >= 30 shared points)
         Wc = np.asarray(ms.covisibility_matrix(m))[:K, :K]
+        live_mask = np.zeros(K, bool)
+        live_mask[live] = True
+        edge_i, edge_j, rels, weights = [], [], [], []
+        for a_idx in range(1, len(live)):
+            b = int(live[a_idx])
+            w_row = np.where(live_mask[:b], Wc[b, :b], -1)
+            parent = int(np.argmax(w_row)) if w_row.max() > 0 \
+                else int(live[a_idx - 1])
+            edge_i.append(parent)
+            edge_j.append(b)
+            rels.append(lie.sim3_compose(sim_of(b),
+                                         lie.sim3_inverse(sim_of(parent))))
+            weights.append(1.0)
+        # strong covisibility edges (weight >= 30 shared points)
         strong = np.argwhere(np.triu(Wc, 2) >= 30)
         for i, j in strong[:200]:
             edge_i.append(int(i))
