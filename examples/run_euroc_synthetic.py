@@ -138,10 +138,16 @@ def run_sequence_stereo_imu(seq: str, n_frames: int) -> float:
 
 
 def run_sequence(seq: str, n_frames: int, stride: int = 10) -> float:
-    positions, t = load_euroc_gt(seq, stride=stride, max_frames=n_frames)
+    positions, t, quats = load_euroc_gt(seq, stride=stride,
+                                        max_frames=n_frames,
+                                        with_quats=True)
+    # REAL recorded orientations: the invented velocity-following heading
+    # can spin at its rate clamp for seconds (a sim artifact no real MAV
+    # sequence exhibits), dominating the eval difficulty
     world = sim.world_from_trajectory(positions,
                                       n_points=density_points(positions),
-                                      seed=1, timestamps=t)
+                                      seed=1, timestamps=t,
+                                      quats_wxyz=quats)
     cfg = SlamConfig(
         cam_params=(400.0, 400.0, 376.0, 240.0),
         image_size=(480, 752),
@@ -176,6 +182,8 @@ def run_sequence(seq: str, n_frames: int, stride: int = 10) -> float:
           f"{span:.1f} m span, {len(t)/wall:.1f} fps host-loop, "
           f"kf={int(tracker.map.n_kf)} "
           f"loops={tracker.loop_closer.num_closed if tracker.loop_closer else 0}")
+    if tracker.loop_closer is not None:
+        print(f"  loop gates: {tracker.loop_closer.stats}")
     return ate
 
 

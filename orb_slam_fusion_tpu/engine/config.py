@@ -53,17 +53,22 @@ class SlamConfig(NamedTuple):
     ba_iters_second: int = 10
     min_parallax_deg: float = 1.0       # new-point triangulation gate
     culling_found_ratio: float = 0.25   # reference MapPointCulling threshold
-    tri_covisible: int = 0              # extra best-covisible triangulation
+    tri_covisible: int = 3              # extra best-covisible triangulation
                                         # neighbours besides the 3-KF
                                         # temporal chain (reference: 10-30
                                         # covisible, localmapping.cc:317).
-                                        # Default off: on noisy mono-VIO the
-                                        # long-baseline re-triangulations
-                                        # destabilize the scale estimate —
-                                        # measured 0.006 -> 0.23 m ATE on
-                                        # the staged-init sim; needs the
-                                        # reference's full epipole-distance
-                                        # + scale-consistency gates first
+                                        # The covisible pairs carry the
+                                        # long baselines that slow forward
+                                        # motion never gives the temporal
+                                        # chain — without them full-length
+                                        # EuRoC starves (parallax gate
+                                        # rejects ~all chain pairs) and
+                                        # tracking dies within ~300 frames.
+                                        # Requires the octave-aware
+                                        # epipolar gate in mapping.py: the
+                                        # round-1 fixed-sigma gate made
+                                        # these pairs destabilize mono-VIO
+                                        # scale instead
 
     # initialization
     init_min_matches: int = 80

@@ -165,6 +165,10 @@ class LoopCloser:
         # in-flight chunked global BA (reference: background GBA thread)
         self.pending_gba: Optional[ChunkedGBA] = None
         self.background_gba = bool(getattr(cfg, "background_gba", True))
+        # gate-stage counters (observability: WHERE do closures die?)
+        self.stats = {"queries": 0, "candidates": 0, "consistent": 0,
+                      "desc_fail": 0, "ransac_fail": 0, "sim3_fail": 0,
+                      "proj_fail": 0, "closed": 0}
 
     # -- database maintenance (called by the tracker on KF insert) ---------
 
@@ -220,6 +224,7 @@ class LoopCloser:
             levels=self.db.levels)
         ids = np.asarray(ids)
         groups = np.asarray(groups)
+        self.stats["queries"] += 1
 
         # temporal consistency (reference loopclosing.cc:303-391): a
         # candidate's covisibility group must intersect groups detected at
@@ -229,6 +234,7 @@ class LoopCloser:
         for ci, cand in enumerate(ids):
             if cand < 0:
                 continue
+            self.stats["candidates"] += 1
             grp = frozenset(np.nonzero(groups[ci])[0].tolist())
             best = 0
             for prev_grp, cnt in self._cons_groups:
@@ -239,10 +245,12 @@ class LoopCloser:
                 consistent.append(int(cand))
         self._cons_groups = new_groups
 
+        self.stats["consistent"] += len(consistent)
         for cand in consistent:
             if self._verify_and_correct(tracker, kf_id, cand):
                 self.last_loop_kf = kf_id
                 self.num_closed += 1
+                self.stats["closed"] += 1
                 self._cons_groups = []
                 return True
         return False
@@ -260,6 +268,7 @@ class LoopCloser:
             max_dist=matcher.TH_LOW)
         n_matches = int(jnp.sum(ok))
         if n_matches < 20:
+            self.stats["desc_fail"] += 1
             return False
 
         idx_c = jnp.clip(idx, 0, F - 1)
@@ -286,6 +295,7 @@ class LoopCloser:
             fix_scale=fix_scale, min_inliers=15,
             cam_model=self.cfg.cam_model)
         if not bool(res.ok):
+            self.stats["ransac_fail"] += 1
             return False
 
         S_ref, inlier, n_in = optimize_sim3(
@@ -293,6 +303,7 @@ class LoopCloser:
             jnp.ones(F), jnp.ones(F), tracker.cam_params,
             fix_scale=fix_scale, cam_model=self.cfg.cam_model)
         if int(n_in) < 20:
+            self.stats["sim3_fail"] += 1
             return False
 
         # staged Sim3-guided projection validation (reference
@@ -300,6 +311,7 @@ class LoopCloser:
         ok_proj, S_final = self._sim3_guided_validation(
             tracker, cur, cand, S_ref, fix_scale)
         if not ok_proj:
+            self.stats["proj_fail"] += 1
             return False
 
         self._correct_loop(tracker, cur, cand, S_final)

@@ -25,34 +25,26 @@ from ..map import map_state as ms
 
 def _triangulate_pair(pose_a: lie.SE3, pose_b: lie.SE3, rays_a, rays_b,
                       pair_valid, min_parallax_cos: float = 0.9998,
-                      far_threshold: float = 0.0,
-                      sigma2n_a=None, sigma2n_b=None):
+                      far_threshold: float = 0.0):
     """Two-view mid-point triangulation + acceptance checks (world coords).
 
     Reference: LocalMapping::CreateNewMapPoints's parallax / positive-depth
-    / reprojection gates. `sigma2n_a/b` are each view's squared keypoint
-    sigma in NORMALIZED-plane units (sigma_px^2 / f^2, octave-dependent) —
-    None falls back to 2 px at f=460. Returns (points_w (N,3), good (N,)).
+    / reprojection gates. Returns (points_w (N,3), good (N,)).
     """
     T_ba = lie.se3_compose(pose_b, lie.se3_inverse(pose_a))
-    if sigma2n_a is None:
-        sigma2n_a = (2.0 / 460.0) ** 2
-    if sigma2n_b is None:
-        sigma2n_b = (2.0 / 460.0) ** 2
 
     # epipolar coplanarity gate BEFORE triangulation (reference:
     # SearchForTriangulation only accepts matches near the epipolar line,
-    # orb_matcher.cc:817+ CheckDistEpipolarLine: dist^2 < 3.84 sigma2 of
-    # the SECOND view's keypoint) — descriptor-only mutual matches between
-    # weakly-overlapping covisible keyframes need this; the gate must be
-    # octave-aware or it silently starves triangulation of higher-octave
-    # points (measured: map stuck at ~1.1k points on full-length EuRoC)
+    # orb_matcher.cc:817+ CheckDistEpipolarLine) — descriptor-only mutual
+    # matches between weakly-overlapping covisible keyframes need this;
+    # the post-triangulation reprojection checks alone cannot reject a
+    # wrong match that happens to be epipolar-consistent in one view
     E = lie.hat(T_ba.t) @ T_ba.R                    # essential matrix
     line = jnp.einsum("ij,nj->ni", E, rays_a)       # epipolar line in b
     ep = jnp.sum(rays_b * line, axis=-1)
     sampson = ep * ep / jnp.maximum(
         line[..., 0] ** 2 + line[..., 1] ** 2, 1e-12)
-    pair_valid = pair_valid & (sampson < 3.84 * sigma2n_b)
+    pair_valid = pair_valid & (sampson < (2.0 / 460.0) ** 2)
 
     X_a = cameras.triangulate(rays_a, rays_b, T_ba.R, T_ba.t)
     X_b = lie.se3_apply(T_ba, X_a)
@@ -68,11 +60,9 @@ def _triangulate_pair(pose_a: lie.SE3, pose_b: lie.SE3, rays_a, rays_b,
                    - rays_a[..., :2]) ** 2, axis=-1)
     e_b = jnp.sum((X_b[..., :2] / jnp.maximum(z_b[..., None], 1e-9)
                    - rays_b[..., :2]) ** 2, axis=-1)
-    # reference reprojection acceptance: chi2 < 5.991 sigma2 per view with
-    # each view's own octave sigma (localmapping.cc:~500-560)
+    th = (2.0 / 460.0) ** 2
     good = (pair_valid & (z_a > 0.05) & (z_b > 0.05)
-            & (cosp < min_parallax_cos)
-            & (e_a < 5.991 * sigma2n_a) & (e_b < 5.991 * sigma2n_b))
+            & (cosp < min_parallax_cos) & (e_a < th) & (e_b < th))
     if far_threshold > 0:
         # System.thFarPoints: discard far triangulations (reference
         # localmapping.cc:587)
@@ -167,18 +157,9 @@ def mapping_step(
 
         rays_prev = cameras.unproject(cam_model, cam_params, prev_uv)
         prev_pose = lie.SE3(m.kf_pose.R[prev_c], m.kf_pose.t[prev_c])
-        # per-view keypoint sigma^2 in normalized-plane units
-        # (mvLevelSigma2 / f^2): the acceptance gates must widen with the
-        # detection octave like the reference's
-        fx2 = cam_params[0] * cam_params[0]
-        s2n_prev = ms.SCALE_FACTOR ** (
-            2.0 * m.kf_octave[prev_c].astype(jnp.float32)) / fx2
-        s2n_cur = ms.SCALE_FACTOR ** (
-            2.0 * kp_octave[pidx_c].astype(jnp.float32)) / fx2
         X_w, good = _triangulate_pair(
             prev_pose, pose, rays_prev, rays_cur[pidx_c], pok,
-            far_threshold=far_threshold,
-            sigma2n_a=s2n_prev, sigma2n_b=s2n_cur)
+            far_threshold=far_threshold)
         good = good & prev_ok
 
         normals = X_w - cam_center

@@ -643,6 +643,11 @@ class MonoTracker:
             self.loop_closer.on_kf_remap(o2n, np.asarray(order))
         self._on_kf_remap(o2n, np.asarray(order))
 
+    def _tri_covisible(self) -> int:
+        """Covisible triangulation neighbour budget (hook: inertial
+        subclasses return 0 — see _insert_keyframe)."""
+        return int(getattr(self.cfg, "tri_covisible", 3))
+
     def _on_kf_remap(self, old_to_new, order) -> None:
         """Hook: subclasses permute their per-keyframe side tables."""
 
@@ -710,8 +715,12 @@ class MonoTracker:
         prev[: len(ids)] = ids
         # triangulation neighbours = temporal chain + best covisible
         # keyframes (reference: 10-30 covisible + mPrevKF chain,
-        # localmapping.cc:317-329; scaled to this budget)
-        n_cov = int(getattr(cfg, "tri_covisible", 3))
+        # localmapping.cc:317-329; scaled to this budget). Inertial
+        # subclasses override to 0 (see _tri_covisible): long-baseline
+        # covisible pairs measurably destabilize the staged VI
+        # initialization, and the IMU already bridges the low-parallax
+        # stretches that make them necessary for pure vision.
+        n_cov = self._tri_covisible()
         prev_ids = jnp.asarray(prev)
         if n_cov > 0 and n_kf_before > 3:
             cov = top_covisible(self.map, obs,

@@ -61,6 +61,14 @@ class InertialMixin:
 
     _imu_optimize_scale = True
 
+    def _tri_covisible(self) -> int:
+        """Inertial sessions triangulate against the temporal chain only:
+        long-baseline covisible pairs measurably destabilize the staged
+        visual-inertial initialization (0.006 -> 0.23 m ATE on the
+        staged-init sim), and the IMU bridges the low-parallax stretches
+        that make them load-bearing for pure vision."""
+        return 0
+
     def _init_inertial(self, calib: ImuCalib):
         self.calib = calib
         self.imu_initialized = False

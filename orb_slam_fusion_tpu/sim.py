@@ -116,16 +116,32 @@ def make_corridor_world(
                           _canonical_distances(pts, cam_pos, rng))
 
 
+def quat_to_mat(qv):
+    """wxyz quaternion -> rotation matrix (R_wb for GT body quats)."""
+    w, x, y, z = qv
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 def world_from_trajectory(
     positions: np.ndarray,
     n_points: int = 6000,
     seed: int = 0,
     timestamps: Optional[np.ndarray] = None,
     point_margin: float = 3.0,
+    quats_wxyz: Optional[np.ndarray] = None,
 ) -> SyntheticWorld:
     """Build a synthetic world around an externally supplied trajectory
     (e.g. a EuRoC ground-truth path): points fill the bounding volume with a
-    margin; camera looks along the direction of travel."""
+    margin. With `quats_wxyz` (T, 4) the camera carries the REAL recorded
+    orientations (R_wc per frame); otherwise it looks along the direction
+    of travel with a rate-limited synthetic heading. Prefer real quats
+    when available: the synthetic heading can sit at its rate clamp for
+    seconds at a time (57 deg/s sustained), which no real MAV sequence
+    does and which dominates tracking difficulty as a sim artifact."""
     rng = np.random.RandomState(seed)
     positions = np.asarray(positions, np.float64)
     T = len(positions)
@@ -134,6 +150,19 @@ def world_from_trajectory(
     pts = rng.uniform(lo, hi, size=(n_points, 3)).astype(np.float32)
     desc = rng.randint(0, 2 ** 32, size=(n_points, 8),
                        dtype=np.uint64).astype(np.uint32)
+
+    if quats_wxyz is not None:
+        Rs, ts = [], []
+        for i in range(T):
+            R_cw = quat_to_mat(np.asarray(quats_wxyz[i], np.float64)).T
+            Rs.append(R_cw)
+            ts.append(-R_cw @ positions[i])
+        poses = lie.SE3(jnp.asarray(np.stack(Rs), jnp.float32),
+                        jnp.asarray(np.stack(ts), jnp.float32))
+        if timestamps is None:
+            timestamps = np.arange(T) / 20.0
+        return SyntheticWorld(pts, desc, poses, np.asarray(timestamps),
+                              _canonical_distances(pts, positions, rng))
 
     # camera orientation: z-axis along smoothed velocity, x right, y down.
     # Real trajectories (e.g. EuRoC MH01) start stationary — there the
@@ -454,14 +483,6 @@ def vio_from_gt_trajectory(
                   np.sin(u[:, None] * ang) / np.maximum(np.sin(ang), 1e-12))
     q_hi = q0 * w0 + q1 * w1
     q_hi /= np.linalg.norm(q_hi, axis=1, keepdims=True)
-
-    def quat_to_mat(qv):
-        w, x, y, z = qv
-        return np.array([
-            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-        ])
 
     R_hi = np.stack([quat_to_mat(qv) for qv in q_hi])   # R_wb
 

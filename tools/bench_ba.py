@@ -78,6 +78,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # the environment's sitecustomize pins jax_platforms to the remote-TPU
+    # backend regardless of JAX_PLATFORMS; honor an explicit cpu request
+    # with the config override that actually works (see tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from orb_slam_fusion_tpu.solver import ba
 
