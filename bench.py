@@ -91,10 +91,49 @@ def _build_world(rng, M, K0, F, H, W, cam_np):
     return m
 
 
+def _probe_backend(attempts: int = 3, probe_timeout: int = 60) -> str:
+    """Probe the (remotely tunneled) accelerator backend in a SUBPROCESS
+    with a hard timeout, retrying with backoff.
+
+    Round-2 postmortem: the axon TPU tunnel was down for the whole judging
+    session and bench.py died at backend init, so the round recorded no
+    number at all. A subprocess probe can neither hang the bench nor poison
+    the parent's backend state; on persistent failure we fall back to CPU
+    and SAY SO in the emitted JSON instead of recording nothing.
+    Returns "" (default backend looks healthy) or an error string.
+    """
+    import subprocess
+    last_err = "unknown"
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "print(d[0].platform, len(d))"],
+                capture_output=True, text=True, timeout=probe_timeout)
+            if r.returncode == 0 and r.stdout.strip():
+                print(f"backend probe ok: {r.stdout.strip()}",
+                      file=sys.stderr)
+                return ""
+            last_err = (r.stderr.strip().splitlines() or ["rc=%d" % r.returncode])[-1][:300]
+        except subprocess.TimeoutExpired:
+            last_err = f"probe timed out after {probe_timeout}s"
+        print(f"backend probe attempt {attempt + 1}/{attempts} failed: "
+              f"{last_err}", file=sys.stderr)
+        if attempt + 1 < attempts:
+            time.sleep(15 * (attempt + 1))
+    return last_err
+
+
 def main():
     import jax
+    probe_err = ""
     if os.environ.get("OSF_BENCH_CPU") == "1":   # smoke-test path
         jax.config.update("jax_platforms", "cpu")
+    else:
+        probe_err = _probe_backend()
+        if probe_err:
+            jax.config.update("jax_platforms", "cpu")
     # persistent compile cache: the three scan programs (k_short/k_long/1)
     # embed the whole mapping+local-BA pipeline and take minutes to compile
     # through the remote-chip tunnel on a cold start; cached, a re-run (the
@@ -222,14 +261,19 @@ def main():
           f"p99 {p99*1e3:.2f} ms (p99/median {p99/max(med,1e-9):.2f}; "
           f"includes tunnel dispatch+fetch)", file=sys.stderr)
 
+    note = ("keyframe-inclusive: extraction+tracking every frame, "
+            "mapping+local-BA every 8th; vs_baseline is against the "
+            "reference's 20 fps real-time pacing target")
+    if probe_err:
+        note = (f"TPU TUNNEL UNREACHABLE ({probe_err}); CPU-fallback "
+                f"number, NOT a chip measurement. " + note)
     print(json.dumps({
         "metric": "production_pipeline_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 20.0, 3),
-        "note": ("keyframe-inclusive: extraction+tracking every frame, "
-                 "mapping+local-BA every 8th; vs_baseline is against the "
-                 "reference's 20 fps real-time pacing target"),
+        "backend": jax.default_backend(),
+        "note": note,
     }))
 
 

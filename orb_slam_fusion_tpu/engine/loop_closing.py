@@ -108,8 +108,14 @@ class ChunkedGBA:
             m.kf_pose, m.mp_pos, kf_idx, mp_idx, uv, inv_s2, valid,
             jnp.asarray(fixed), tracker.cam_params,
             fixed_point=~m.mp_valid, max_obs=16)
+        # large-K snapshots solve the reduced camera system matrix-free
+        # (PCG): the dense Schur path materializes (M, K, 6, 3)
+        # intermediates — GBs at grown capacities (K=512, M=32k). The
+        # factor layout here IS window-contiguous (observation_triples
+        # over window=arange(max_kf)), which the PCG path requires.
+        stride = m.n_feat if m.max_kf > 64 else 0
         self.lm = ba_mod.ChunkedLM(prob, self.cam_model, iters_first,
-                                   iters_second, chunk)
+                                   iters_second, chunk, pose_stride=stride)
 
     @property
     def prob(self):
@@ -513,12 +519,20 @@ class LoopCloser:
         Xc = lie.sim3_apply(old_ref, m.mp_pos)
         X_new = lie.sim3_apply(lie.sim3_inverse(new_ref), Xc)
         mp_pos = jnp.where(m.mp_valid[:, None], X_new, m.mp_pos)
+        # viewing normals follow the rotation part of the same per-point
+        # correction (reference: UpdateNormalAndDepth after the loop
+        # rewrite) — stale normals fail the view-angle gate after large
+        # corrections
+        R_corr = jnp.einsum("mji,mjk->mik", new_ref.R, old_ref.R)  # (M,3,3)
+        nrm = jnp.einsum("mij,mj->mi", R_corr, m.mp_normal)
+        mp_normal = jnp.where(m.mp_valid[:, None], nrm, m.mp_normal)
 
         kf_R = m.kf_pose.R.at[:K].set(corr_R)
         kf_t = m.kf_pose.t.at[:K].set(corr_t)
         tracker.map = m._replace(
             kf_pose=lie.SE3(kf_R, kf_t),
             mp_pos=mp_pos,
+            mp_normal=mp_normal,
         )
         # keep tracker state consistent with the rewritten map; an
         # in-flight background local BA solved the PRE-correction geometry

@@ -71,6 +71,14 @@ class StereoTracker(MonoTracker):
 
     # -- initialization ----------------------------------------------------
 
+    def _bootstrap(self, feats, timestamp) -> FrameRecord:
+        """Post-reset re-initialization: stereo bootstraps instantly from
+        the current frame's disparity (the right-image association was
+        already computed for this frame by process_stereo_*)."""
+        if self._cur_uright is None:
+            return super()._bootstrap(feats, timestamp)
+        return self._stereo_initialize(feats, timestamp)
+
     def _stereo_initialize(self, feats, timestamp) -> FrameRecord:
         """Instant bootstrap: every stereo feature becomes a map point."""
         cfg = self.cfg

@@ -261,7 +261,7 @@ class MonoTracker:
                 rec = FrameRecord(timestamp, self.cur_pose, 0, "reloc-fail")
             else:
                 self.reset_map()
-                rec = self._try_initialize(feats, timestamp)
+                rec = self._bootstrap(feats, timestamp)
         self.frame_id += 1
         self._append_record(rec)
         return rec
@@ -296,6 +296,13 @@ class MonoTracker:
                 for ts, kf, T in self._traj_rel]
 
     # -- initialization ----------------------------------------------------
+
+    def _bootstrap(self, feats, timestamp) -> FrameRecord:
+        """(Re-)initialization hook after a map reset: monocular two-view
+        init here; stereo subclasses override with the instant disparity
+        bootstrap (reference: StereoInitialization vs
+        MonocularInitialization, tracking.cc:1681/1788)."""
+        return self._try_initialize(feats, timestamp)
 
     def _try_initialize(self, feats, timestamp) -> FrameRecord:
         cfg = self.cfg
@@ -445,8 +452,15 @@ class MonoTracker:
 
         if (n_matches < cfg.min_track_matches
                 or n_inliers < cfg.min_track_matches // 2):
+            # record when tracking was FIRST lost: a relocalization that
+            # immediately fails to track again must not refresh the grace
+            # window, or a spuriously-accepted reloc pose loops
+            # lost->reloc->lost forever and the map never resets
+            # (reference: mTimeStampLost is set once at the OK->LOST
+            # transition, tracking.cc:1403)
+            if self.state == TrackState.OK:
+                self.lost_since = self.frame_id
             self.state = TrackState.LOST
-            self.lost_since = self.frame_id
             self.ref_feats = None
             return FrameRecord(timestamp, pred_pose,
                                min(n_matches, n_inliers), "lost")

@@ -428,7 +428,9 @@ class InertialMixin:
             # scale drift a single global gauge factor cannot
             self._full_vi_ba()
 
-    def _inertial_estimate_apply(self, refine: bool) -> bool:
+    def _inertial_estimate_apply(self, refine: bool,
+                                 prior_g: float = 1e2,
+                                 prior_a: Optional[float] = None) -> bool:
         """Estimate (scale,) gravity, biases, velocities over ALL keyframes
         and apply them to the map (reference InertialOptimization +
         ApplyScaledRotation + Reintegrate, localmapping.cc:1035-1272).
@@ -436,7 +438,13 @@ class InertialMixin:
         `refine` guards the re-runs (VIBA1/VIBA2/scale refinement): the map
         is already gravity-aligned and ~metric, so the correction must be
         near identity — a degenerate solve is rejected instead of applied.
+        prior_g/prior_a: zero-mean bias prior weights (reference
+        InitializeIMU priorG/priorA staging, localmapping.cc:151-182).
+        prior_a=None defaults to the first-init values: 1e10 when scale is
+        optimized (monocular) / 1e5 when it is visual-metric (stereo).
         """
+        if prior_a is None:
+            prior_a = 1e10 if self._imu_optimize_scale else 1e5
         # the solve reads ALL keyframe poses and then gauge-transforms the
         # whole map: a background local BA in flight would both feed it
         # un-refined geometry and later scatter pre-transform poses back
@@ -449,7 +457,8 @@ class InertialMixin:
         poses = lie.SE3(self.map.kf_pose.R[:n_kf], self.map.kf_pose.t[:n_kf])
         s, R_wg, bias, vel, costs = inertial_init(
             poses, ifac, self.calib,
-            optimize_scale=self._imu_optimize_scale)
+            optimize_scale=self._imu_optimize_scale,
+            prior_g=prior_g, prior_a=prior_a)
         s_f = float(s) if self._imu_optimize_scale else 1.0
         if not np.isfinite(s_f):
             return False
@@ -492,11 +501,15 @@ class InertialMixin:
         elapsed = self.kf_time[-1] - self.kf_time[0]
         if self._imu_stage == 1 and elapsed > 5.0:
             next_stage = 2
+            prior_g, prior_a = 1.0, 1e5      # VIBA1 (localmapping.cc:169)
         elif self._imu_stage == 2 and elapsed > 15.0:
             next_stage = 3
+            prior_g, prior_a = 1e-3, 1e-3    # VIBA2 (localmapping.cc:180:
+            # 0,0 — kept epsilon-regularized for the fp32 normal equations)
         else:
             return
-        if self._inertial_estimate_apply(refine=True):
+        if self._inertial_estimate_apply(refine=True, prior_g=prior_g,
+                                         prior_a=prior_a):
             self._full_vi_ba()
         # advance even on a rejected refine — the windowed VI-BA keeps
         # improving the estimates; re-trying every keyframe would pay the
@@ -534,9 +547,16 @@ class InertialMixin:
         kf_R = jnp.einsum("kij,jl->kil", m.kf_pose.R, R_wg)
         kf_t = s * m.kf_pose.t
         mp = s * jnp.einsum("ij,kj->ki", R_gw, m.mp_pos)
+        # normals are WORLD vectors: they must follow the gauge rotation or
+        # the view-angle gate (cos > 0.5, Frame::isInFrustum) rejects every
+        # point after a large R_wg and tracking dies with 0 matches at IMU
+        # init (reference: ApplyScaledRotation is followed by
+        # UpdateNormalAndDepth recomputing them, map.cc:230+)
+        nrm = jnp.einsum("ij,kj->ki", R_gw, m.mp_normal)
         self.map = m._replace(
             kf_pose=lie.SE3(kf_R, kf_t),
             mp_pos=jnp.where(m.mp_valid[:, None], mp, m.mp_pos),
+            mp_normal=jnp.where(m.mp_valid[:, None], nrm, m.mp_normal),
             mp_min_dist=m.mp_min_dist * s,
             mp_max_dist=jnp.where(m.mp_max_dist < 1e8,
                                   m.mp_max_dist * s, m.mp_max_dist),

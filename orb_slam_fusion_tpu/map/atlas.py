@@ -34,9 +34,14 @@ def transform_map(m: ms.MapState, S: lie.Sim3) -> ms.MapState:
     R2 = m.kf_pose.R @ S.R.T
     t2 = -jnp.einsum("kij,kj->ki", R2, C2)
     pts2 = lie.sim3_apply(S, m.mp_pos)
+    # viewing normals are world DIRECTIONS: rotate (no translation/scale),
+    # or the view-angle gate rejects every welded point after a large-
+    # rotation merge (same failure mode as the IMU-init gauge rotation)
+    nrm2 = jnp.einsum("ij,kj->ki", S.R, m.mp_normal)
     return m._replace(
         kf_pose=lie.SE3(R2, t2),
         mp_pos=jnp.where(m.mp_valid[:, None], pts2, m.mp_pos),
+        mp_normal=jnp.where(m.mp_valid[:, None], nrm2, m.mp_normal),
         # the scale-invariance band is a metric distance — rescale with S
         mp_min_dist=m.mp_min_dist * S.s,
         mp_max_dist=jnp.where(m.mp_max_dist < 1e8,

@@ -357,6 +357,8 @@ def inertial_init(
     calib: ImuCalib,
     iters: int = 30,
     optimize_scale: bool = True,
+    prior_g: float = 1e2,
+    prior_a: float = 1e5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, ImuBias, jnp.ndarray, jnp.ndarray]:
     """Estimate (scale, R_wg gravity rotation, shared bias, velocities).
 
@@ -364,6 +366,14 @@ def inertial_init(
     VertexGDir (2-dof gravity) + VertexScale: poses fixed, minimize the
     preintegration residuals over scale s, gravity direction, one shared
     bias, and per-keyframe velocities.
+
+    prior_g/prior_a weight zero-mean priors on the shared biases
+    (reference EdgePriorGyro/EdgePriorAcc with priorG/priorA,
+    localmapping.cc:151-182: 1e2/1e5-1e10 at first init, relaxed at
+    VIBA1/VIBA2). Without the acc prior, gravity direction <-> acc bias
+    is a flat valley over a short low-excitation window and the solve
+    dumps a gravity misfit of several m/s^2 into the bias — measured to
+    kill tracking outright at IMU init on EuRoC-trajectory sims.
 
     Returns (scale, R_wg, bias, velocities (K,3), costs).
     """
@@ -399,19 +409,25 @@ def inertial_init(
         r = jax.vmap(one)(jnp.arange(P))                 # (P,9)
         return jnp.where(ifac.valid[:, None], r, 0.0)
 
+    # zero-mean bias priors (see docstring): quadratic in theta[3:9]
+    prior_vec = jnp.concatenate([jnp.full(3, prior_g, dtype),
+                                 jnp.full(3, prior_a, dtype)])
+
     def cost(theta):
         r = residuals(theta)
-        return jnp.sum(jnp.einsum("pi,pij,pj->p", r, ifac.info, r))
+        c = jnp.sum(jnp.einsum("pi,pij,pj->p", r, ifac.info, r))
+        return c + jnp.sum(prior_vec * theta[3:9] ** 2)
 
     def body(carry, _):
         theta, lam = carry
         r = residuals(theta)
         J = jax.jacfwd(residuals)(theta).reshape(P * 9, n_par)
-        info_flat = jax.scipy.linalg.block_diag  # not used; weight per edge
         # weight rows by info via einsum on (P,9) blocks
         Jb = J.reshape(P, 9, n_par)
         H = jnp.einsum("pri,prs,psj->ij", Jb, ifac.info, Jb)
         gvec = jnp.einsum("pri,prs,ps->i", Jb, ifac.info, r)
+        H = H.at[jnp.arange(3, 9), jnp.arange(3, 9)].add(prior_vec)
+        gvec = gvec.at[3:9].add(prior_vec * theta[3:9])
         H = H + jnp.diag(lam * jnp.diag(H) + 1e-7)
         dx = -jax.scipy.linalg.solve(H, gvec, assume_a="pos")
         c0 = cost(theta)
