@@ -121,6 +121,17 @@ class StereoTracker(MonoTracker):
         return FrameRecord(timestamp, pose0, self.last_kf_tracked,
                            "init-done")
 
+    def reset_map(self):
+        """Archive + restart (see MonoTracker.reset_map). The stereo right-u
+        table must be cleared with the map: keyframe rows are written only
+        AFTER the insert-time local BA runs (u_right joins the residuals
+        from the next window solve), so a stale row from the pre-reset map
+        would feed garbage stereo residuals into the new map's first
+        keyframe solves — measured to fling the bootstrap geometry by
+        meters and collapse tracking within two frames of a re-bootstrap."""
+        super().reset_map()
+        self.kf_uright = jnp.full_like(self.kf_uright, -1.0)
+
     # -- capacity hooks ------------------------------------------------------
 
     def _on_kf_remap(self, old_to_new, order):
