@@ -101,7 +101,11 @@ def run_sequence_stereo_imu(seq: str, n_frames: int) -> float:
         max_keyframes=256,
         max_map_points=16384,
         ba_window=6,
-        loop_closing=False,
+        # loop closing ON: it also provides relocalization and atlas
+        # re-merge, so a tracking loss recovers instead of fragmenting the
+        # run (round-2 verdict #1; reference: reloc + MergeLocal always
+        # active, tracking.cc:2869, loopclosing.cc:1651)
+        loop_closing=True,
     )
     tracker = StereoVioTracker(cfg, baseline, make_calib())
     cam = jnp.asarray(cfg.cam_params)
@@ -130,11 +134,21 @@ def run_sequence_stereo_imu(seq: str, n_frames: int) -> float:
     ate = ate_rmse(traj[start:, 1:4], gt[start:len(traj)], with_scale=False)
     ok = sum(1 for s in states if s in ("ok", "init-done"))
     span = np.linalg.norm(positions.max(0) - positions.min(0))
+    lc = tracker.loop_closer
     print(f"{seq} [stereo-imu]: tracked {ok}/{len(t)}, metric ATE "
           f"{ate*100:.2f} cm over {span:.1f} m span, "
           f"{len(t)/wall:.1f} fps host-loop, kf={int(tracker.map.n_kf)} "
-          f"imu_init={getattr(tracker, 'imu_initialized', False)}")
-    return ate
+          f"imu_init={getattr(tracker, 'imu_initialized', False)} "
+          f"loops={lc.num_closed if lc else 0} "
+          f"archived={len(tracker.atlas)}", flush=True)
+    if lc is not None:
+        print(f"  loop gates: {lc.stats}", flush=True)
+    return {"seq": seq, "mode": "stereo-imu", "frames": len(t),
+            "tracked": ok, "ate_m": float(ate), "span_m": float(span),
+            "kf": int(tracker.map.n_kf),
+            "loops": lc.num_closed if lc else 0,
+            "archived_maps": len(tracker.atlas),
+            "loop_gates": dict(lc.stats) if lc else {}}
 
 
 def run_sequence(seq: str, n_frames: int, stride: int = 10) -> float:
@@ -178,16 +192,23 @@ def run_sequence(seq: str, n_frames: int, stride: int = 10) -> float:
     ate = ate_rmse(traj[start:, 1:4], gt[start:len(traj)], with_scale=True)
     ok = sum(1 for s in states if s in ("ok", "init-done"))
     span = np.linalg.norm(positions.max(0) - positions.min(0))
+    lc = tracker.loop_closer
     print(f"{seq}: tracked {ok}/{len(t)}, ATE {ate*100:.2f} cm over "
           f"{span:.1f} m span, {len(t)/wall:.1f} fps host-loop, "
           f"kf={int(tracker.map.n_kf)} "
-          f"loops={tracker.loop_closer.num_closed if tracker.loop_closer else 0}")
-    if tracker.loop_closer is not None:
-        print(f"  loop gates: {tracker.loop_closer.stats}")
-    return ate
+          f"loops={lc.num_closed if lc else 0}", flush=True)
+    if lc is not None:
+        print(f"  loop gates: {lc.stats}", flush=True)
+    return {"seq": seq, "mode": "mono", "frames": len(t), "tracked": ok,
+            "ate_m": float(ate), "span_m": float(span),
+            "kf": int(tracker.map.n_kf),
+            "loops": lc.num_closed if lc else 0,
+            "loop_gates": dict(lc.stats) if lc else {}}
 
 
 if __name__ == "__main__":
+    import json
+
     ap = argparse.ArgumentParser()
     ap.add_argument("sequences", nargs="*",
                     default=["MH01"],
@@ -198,9 +219,15 @@ if __name__ == "__main__":
                          "stride=1 keeps camera rate for full-length runs)")
     ap.add_argument("--mode", choices=["mono", "stereo-imu"],
                     default="mono")
+    ap.add_argument("--out", default="",
+                    help="append one JSON line per sequence to this file")
     args = ap.parse_args()
     for s in args.sequences:
         if args.mode == "stereo-imu":
-            run_sequence_stereo_imu(s, args.frames)
+            r = run_sequence_stereo_imu(s, args.frames)
         else:
-            run_sequence(s, args.frames, stride=args.stride)
+            r = run_sequence(s, args.frames, stride=args.stride)
+        if args.out and isinstance(r, dict):
+            r["stride"] = 1 if args.mode == "stereo-imu" else args.stride
+            with open(args.out, "a") as f:
+                f.write(json.dumps(r) + "\n")

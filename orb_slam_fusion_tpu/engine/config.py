@@ -64,11 +64,11 @@ class SlamConfig(NamedTuple):
                                         # EuRoC starves (parallax gate
                                         # rejects ~all chain pairs) and
                                         # tracking dies within ~300 frames.
-                                        # Requires the octave-aware
-                                        # epipolar gate in mapping.py: the
-                                        # round-1 fixed-sigma gate made
-                                        # these pairs destabilize mono-VIO
-                                        # scale instead
+                                        # mapping.py gates these pairs by
+                                        # the octave-scaled 3.84/5.991
+                                        # sigma2 thresholds (reference
+                                        # orb_matcher.cc:817,
+                                        # localmapping.cc:400)
 
     # initialization
     init_min_matches: int = 80

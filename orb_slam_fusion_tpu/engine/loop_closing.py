@@ -170,6 +170,9 @@ class LoopCloser:
         self.loop_edges: list = []   # [(i, j, lie.Sim3 rel i->j)]
         # in-flight chunked global BA (reference: background GBA thread)
         self.pending_gba: Optional[ChunkedGBA] = None
+        # detection dispatched at the previous keyframe, resolved at the
+        # next (one-deep pipeline; see try_close)
+        self._pending_detect = None
         self.background_gba = bool(getattr(cfg, "background_gba", True))
         # gate-stage counters (observability: WHERE do closures die?)
         self.stats = {"queries": 0, "candidates": 0, "consistent": 0,
@@ -185,8 +188,10 @@ class LoopCloser:
         """Follow a keyframe-table compaction: permute BoW rows and remap
         stored keyframe ids."""
         # a compaction moves rows out from under an in-flight GBA snapshot
-        # — abort it (reference: mbStopGBA on map rewrite)
+        # — abort it (reference: mbStopGBA on map rewrite); a deferred
+        # detection's candidate rows also moved — drop it
         self.pending_gba = None
+        self._pending_detect = None
         self.db.permute(order)
         if self.last_loop_kf >= 0:
             n = int(old_to_new[self.last_loop_kf]) \
@@ -212,22 +217,44 @@ class LoopCloser:
     def try_close(self, tracker) -> bool:
         """Detect and (if verified) close a loop for the newest keyframe.
 
+        Detection is PIPELINED one keyframe deep: this call first resolves
+        the candidates dispatched at the PREVIOUS keyframe (their device
+        program has long finished — the readback costs nothing), then
+        dispatches detection for the current keyframe without reading it
+        back. The keyframe frame therefore never blocks on the detection
+        program (round-2 verdict next #8; reference: LoopClosing runs on
+        its own thread one queue entry behind LocalMapping).
+
         Returns True if a loop was closed (map was rewritten).
         """
+        fired = False
+        pending = self._pending_detect
+        self._pending_detect = None
+        if pending is not None:
+            fired = self._resolve_detection(tracker, *pending)
+
         m = tracker.map
         kf_id = tracker.last_kf_id
         n_kf = int(m.n_kf)
         if kf_id < 0 or n_kf < self.min_kf:
-            return False
+            return fired
         if kf_id - self.last_loop_kf < self.min_gap:
-            return False
+            return fired
 
         # fused detection: covisibility exclusion + temporal guard + BoW
-        # scoring in one dispatch, one small sync
+        # scoring in one dispatch, resolved at the NEXT keyframe
         ids, scores, groups = _detect_candidates(
             m, self.db.bow, self.db.present, self.db.vocab,
             jnp.int32(kf_id), jnp.int32(max(0, kf_id - 6)),
             levels=self.db.levels)
+        self._pending_detect = (kf_id, ids, groups)
+        return fired
+
+    def _resolve_detection(self, tracker, kf_id: int, ids, groups) -> bool:
+        """Consume a deferred detection: temporal consistency + staged
+        verification + correction for keyframe `kf_id`."""
+        if kf_id >= int(tracker.map.n_kf):
+            return False        # the keyframe was culled/remapped away
         ids = np.asarray(ids)
         groups = np.asarray(groups)
         self.stats["queries"] += 1
@@ -261,33 +288,78 @@ class LoopCloser:
                 return True
         return False
 
+    def _covisible_window(self, m, cand: int, n_window: int = 6):
+        """Candidate-side keyframe window: the candidate + its best
+        covisible keyframes (reference: vpCovKFi = candidate + 10
+        covisibles, loopclosing.cc:567-576), padded to a FIXED width by
+        repeating the candidate so shapes stay static. Returns
+        (kf_ids (NW,) np.ndarray,)."""
+        n_kf = int(m.n_kf)
+        Wc = np.asarray(ms.covisibility_matrix(m))[cand, :n_kf]
+        order = np.argsort(-Wc)
+        covis = [int(k) for k in order[: n_window - 1] if Wc[k] > 0]
+        ids = [cand] + covis
+        while len(ids) < n_window:
+            ids.append(cand)
+        return np.asarray(ids[:n_window], np.int32)
+
     def _verify_and_correct(self, tracker, cur: int, cand: int) -> bool:
         m = tracker.map
         F = m.n_feat
 
-        # descriptor matches between the two keyframes, restricted to
-        # features bound to map points (we need 3D-3D correspondences)
-        cur_has = m.kf_feat_valid[cur] & (m.kf_obs_mp[cur] >= 0)
-        cand_has = m.kf_feat_valid[cand] & (m.kf_obs_mp[cand] >= 0)
-        idx, ok = matcher.match_mutual(
-            m.kf_desc[cand], cand_has, m.kf_desc[cur], cur_has,
-            max_dist=matcher.TH_LOW)
-        n_matches = int(jnp.sum(ok))
-        if n_matches < 20:
+        # ---- stage 1: descriptor gate (reference SearchByBoW over the
+        # candidate's covisible window, loopclosing.cc:567-576 +
+        # orb_matcher.cc:697). The candidate side contributes the MAP
+        # POINTS of candidate + best covisibles; the current side
+        # contributes ALL its features (not only map-point-bound ones) —
+        # the round-2 mutual map-point-only gate killed 187/261 consistent
+        # candidates at the production operating point. BoW buckets are a
+        # CPU indexing trick; the TPU equivalent is one dense masked
+        # Hamming matmul over the window's point set.
+        win_ids = self._covisible_window(m, cand)
+        win_j = jnp.asarray(win_ids)
+        obs_w = m.kf_obs_mp[win_j].reshape(-1)             # (NW*F,)
+        rows_w = jnp.clip(obs_w, 0, m.max_mp - 1)
+        # duplicate-point suppression across the window (a point observed
+        # by several window keyframes — and the padding repeats — must
+        # count once): keep the FIRST occurrence of each point row
+        first_occ = jnp.zeros(m.max_mp + 1, jnp.int32).at[
+            jnp.where(obs_w >= 0, rows_w, m.max_mp)].max(
+            jnp.arange(obs_w.shape[0], dtype=jnp.int32) + 1, mode="drop")
+        is_first = (first_occ[rows_w] ==
+                    jnp.arange(obs_w.shape[0], dtype=jnp.int32) + 1)
+        has_w = (obs_w >= 0) & m.mp_valid[rows_w] & is_first
+        idx, ok = matcher.match_masked(
+            m.mp_desc[rows_w], m.kf_desc[cur],
+            has_w[:, None] & m.kf_feat_valid[cur][None, :],
+            max_dist=matcher.TH_LOW, ratio=0.75)
+        # count DISTINCT matched current features
+        idx_c = jnp.clip(idx, 0, F - 1)
+        hit = jnp.zeros(F + 1, bool).at[
+            jnp.where(ok, idx_c, F)].set(True, mode="drop")
+        n_matches = int(jnp.sum(hit[:F]))
+        if n_matches < max(15, int(20 * min(1.0, F / 1000.0) + 0.5)):
             self.stats["desc_fail"] += 1
             return False
 
-        idx_c = jnp.clip(idx, 0, F - 1)
-        mp_cand = jnp.clip(m.kf_obs_mp[cand], 0, m.max_mp - 1)
+        # ---- stage 2: Sim3 RANSAC on 3D-3D pairs (both endpoints carry a
+        # map point; reference Sim3Solver over matched MapPoint pairs)
+        mp_cand = rows_w
         mp_cur_row = m.kf_obs_mp[cur][idx_c]
         mp_cur = jnp.clip(mp_cur_row, 0, m.max_mp - 1)
-        pair_ok = ok & (mp_cur_row >= 0)
+        pair_ok = ok & (mp_cur_row >= 0) & m.mp_valid[mp_cur]
 
         pose_cand = lie.SE3(m.kf_pose.R[cand], m.kf_pose.t[cand])
         pose_cur = lie.SE3(m.kf_pose.R[cur], m.kf_pose.t[cur])
         x1 = lie.se3_apply(pose_cand, m.mp_pos[mp_cand])   # cand frame
         x2 = lie.se3_apply(pose_cur, m.mp_pos[mp_cur])     # cur frame
-        uv1 = m.kf_uv[cand]
+        # cand-side pixel reference: window points from covisibles carry no
+        # observation in the candidate itself — use their projection into
+        # the candidate camera (for points the candidate does observe this
+        # coincides with the stored uv up to reprojection error); the dual
+        # inlier check then measures the S_21 round-trip consistency
+        from .. import cameras as _cams
+        uv1 = _cams.project(self.cfg.cam_model, tracker.cam_params, x1)
         uv2 = m.kf_uv[cur][idx_c]
 
         # an initialized IMU makes scale observable — fix it in the Sim3
@@ -302,11 +374,16 @@ class LoopCloser:
             cam_model=self.cfg.cam_model)
         if not bool(res.ok):
             self.stats["ransac_fail"] += 1
+            # funnel observability: how many 3D-3D pairs entered and how
+            # close the best hypothesis came (drives threshold tuning)
+            self.stats["ransac_pairs_last"] = int(jnp.sum(pair_ok))
+            self.stats["ransac_best_last"] = int(res.n_inliers)
             return False
 
+        n_pairs = x1.shape[0]
         S_ref, inlier, n_in = optimize_sim3(
             res.sim, x1, x2, pair_ok, uv1, uv2,
-            jnp.ones(F), jnp.ones(F), tracker.cam_params,
+            jnp.ones(n_pairs), jnp.ones(n_pairs), tracker.cam_params,
             fix_scale=fix_scale, cam_model=self.cfg.cam_model)
         if int(n_in) < 20:
             self.stats["sim3_fail"] += 1
@@ -358,16 +435,21 @@ class LoopCloser:
         (ok, refined S)."""
         m = tracker.map
         F = m.n_feat
-        n_kf = int(m.n_kf)
         pose_cand = lie.SE3(m.kf_pose.R[cand], m.kf_pose.t[cand])
         pose_cur = lie.SE3(m.kf_pose.R[cur], m.kf_pose.t[cur])
 
-        # candidate-side point set: the candidate and its temporal
-        # neighbours (stand-in for the covisible window of loopclosing.cc)
-        nbrs = [k for k in (cand - 1, cand, cand + 1) if 0 <= k < n_kf]
-        obs_exp = jnp.concatenate([m.kf_obs_mp[k] for k in nbrs])
+        # candidate-side point set: the candidate + its best covisible
+        # keyframes (reference loopclosing.cc:567-576 projects the
+        # vpCovKFi window's points), duplicates suppressed
+        win_ids = self._covisible_window(m, cand)
+        obs_exp = m.kf_obs_mp[jnp.asarray(win_ids)].reshape(-1)
         rows = jnp.clip(obs_exp, 0, m.max_mp - 1)
-        has = (obs_exp >= 0) & m.mp_valid[rows]
+        first_occ = jnp.zeros(m.max_mp + 1, jnp.int32).at[
+            jnp.where(obs_exp >= 0, rows, m.max_mp)].max(
+            jnp.arange(obs_exp.shape[0], dtype=jnp.int32) + 1, mode="drop")
+        is_first = (first_occ[rows] ==
+                    jnp.arange(obs_exp.shape[0], dtype=jnp.int32) + 1)
+        has = (obs_exp >= 0) & m.mp_valid[rows] & is_first
         x_cand = lie.se3_apply(pose_cand, m.mp_pos[rows])
 
         midx, mok = self._project_candidate_points(

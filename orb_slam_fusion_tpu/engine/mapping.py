@@ -25,12 +25,25 @@ from ..map import map_state as ms
 
 def _triangulate_pair(pose_a: lie.SE3, pose_b: lie.SE3, rays_a, rays_b,
                       pair_valid, min_parallax_cos: float = 0.9998,
-                      far_threshold: float = 0.0):
+                      far_threshold: float = 0.0,
+                      sigma2_a=None, sigma2_b=None, inv_f: float = 1 / 460.0):
     """Two-view mid-point triangulation + acceptance checks (world coords).
 
     Reference: LocalMapping::CreateNewMapPoints's parallax / positive-depth
     / reprojection gates. Returns (points_w (N,3), good (N,)).
+
+    sigma2_a/sigma2_b: per-match octave variance 1.2^(2*octave) of the
+    observation in each view — the acceptance gates scale with it
+    (reference: CheckDistEpipolarLine 3.84*sigma2 of the second view,
+    orb_matcher.cc:817+; reprojection 5.991*sigma2 per view,
+    localmapping.cc:400+). None = octave-0 (fixed-threshold legacy
+    behavior). The round-2 revert of these gates treated a symptom: the
+    "VI-merge destabilization" they appeared to cause was the stale
+    viewing-normal bug at gauge rotations, fixed in round 3.
     """
+    one = jnp.ones_like(rays_a[..., 0])
+    s2a = one if sigma2_a is None else sigma2_a
+    s2b = one if sigma2_b is None else sigma2_b
     T_ba = lie.se3_compose(pose_b, lie.se3_inverse(pose_a))
 
     # epipolar coplanarity gate BEFORE triangulation (reference:
@@ -44,7 +57,8 @@ def _triangulate_pair(pose_a: lie.SE3, pose_b: lie.SE3, rays_a, rays_b,
     ep = jnp.sum(rays_b * line, axis=-1)
     sampson = ep * ep / jnp.maximum(
         line[..., 0] ** 2 + line[..., 1] ** 2, 1e-12)
-    pair_valid = pair_valid & (sampson < (2.0 / 460.0) ** 2)
+    # 3.84 chi2(1dof) x sigma2 of the SECOND view's octave, in ray units
+    pair_valid = pair_valid & (sampson < 3.84 * s2b * inv_f * inv_f)
 
     X_a = cameras.triangulate(rays_a, rays_b, T_ba.R, T_ba.t)
     X_b = lie.se3_apply(T_ba, X_a)
@@ -60,9 +74,11 @@ def _triangulate_pair(pose_a: lie.SE3, pose_b: lie.SE3, rays_a, rays_b,
                    - rays_a[..., :2]) ** 2, axis=-1)
     e_b = jnp.sum((X_b[..., :2] / jnp.maximum(z_b[..., None], 1e-9)
                    - rays_b[..., :2]) ** 2, axis=-1)
-    th = (2.0 / 460.0) ** 2
+    # 5.991 chi2(2dof) x per-view octave sigma2 (localmapping.cc:400+)
+    th_a = 5.991 * s2a * inv_f * inv_f
+    th_b = 5.991 * s2b * inv_f * inv_f
     good = (pair_valid & (z_a > 0.05) & (z_b > 0.05)
-            & (cosp < min_parallax_cos) & (e_a < th) & (e_b < th))
+            & (cosp < min_parallax_cos) & (e_a < th_a) & (e_b < th_b))
     if far_threshold > 0:
         # System.thFarPoints: discard far triangulations (reference
         # localmapping.cc:587)
@@ -157,9 +173,17 @@ def mapping_step(
 
         rays_prev = cameras.unproject(cam_model, cam_params, prev_uv)
         prev_pose = lie.SE3(m.kf_pose.R[prev_c], m.kf_pose.t[prev_c])
+        s2_prev = ms.SCALE_FACTOR ** (
+            2.0 * jnp.clip(m.kf_octave[prev_c], 0, num_levels - 1
+                           ).astype(jnp.float32))
+        s2_cur = ms.SCALE_FACTOR ** (
+            2.0 * jnp.clip(kp_octave[pidx_c], 0, num_levels - 1
+                           ).astype(jnp.float32))
         X_w, good = _triangulate_pair(
             prev_pose, pose, rays_prev, rays_cur[pidx_c], pok,
-            far_threshold=far_threshold)
+            far_threshold=far_threshold,
+            sigma2_a=s2_prev, sigma2_b=s2_cur,
+            inv_f=1.0 / cam_params[0])
         good = good & prev_ok
 
         normals = X_w - cam_center
@@ -226,6 +250,71 @@ def mapping_step(
     ratio = m.mp_found / jnp.maximum(m.mp_visible, 1)
     bad = (m.mp_visible >= 8) & (ratio < culling_found_ratio)
     m = m._replace(mp_valid=m.mp_valid & ~bad)
+
+    # ---- 4.5 distinctive-descriptor refresh (reference: MapPoint::
+    # ComputeDistinctiveDescriptors, mappoint.h:139 / mappoint.cc — the
+    # representative descriptor is the observation with minimum MEDIAN
+    # Hamming distance to all other observations). Recomputed here for
+    # every point observed by the NEW keyframe, over its observations in
+    # the recent window (prev_ids + this keyframe): with viewpoint-
+    # dependent appearance a descriptor frozen at triangulation stops
+    # matching once the camera swings around the structure. Medoid over
+    # the recent window tracks the CURRENT appearance, which is also what
+    # the following frames will see.
+    cur_obs = m.kf_obs_mp[kf_c]
+    # refresh window = TEMPORAL chain + this keyframe (prev_ids leads with
+    # the temporal neighbours; covisible extras are deliberately excluded:
+    # an old covisible keyframe stores the point's OLD appearance, and a
+    # medoid over mixed epochs can elect a stale representative — measured
+    # to HALVE matched observations on the orbit sim vs recency-only)
+    n_temp = min(3, n_prev)
+    win = jnp.concatenate([prev_ids[:n_temp], kf_c[None]])
+    Wn = n_temp + 1
+    win_c = jnp.clip(win, 0, m.max_kf - 1)
+    win_valid = (win >= 0) & m.kf_valid[win_c]                  # (W,)
+    obs_win = m.kf_obs_mp[win_c]                                # (W, F)
+    # per window KF: inverse map point-row -> feature index
+    w_rows = jnp.broadcast_to(jnp.arange(Wn)[:, None], (Wn, F))
+    inv = jnp.full((Wn, m.max_mp + 1), -1, jnp.int32)
+    inv = inv.at[w_rows, jnp.where(obs_win >= 0, obs_win, m.max_mp)].max(
+        jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :], (Wn, F)),
+        mode="drop")
+    rows_cur_pt = jnp.clip(cur_obs, 0, m.max_mp - 1)            # (F,)
+    fidx_w = inv[:, :-1][:, rows_cur_pt]                        # (W, F)
+    has_obs = (fidx_w >= 0) & win_valid[:, None] \
+        & (cur_obs >= 0)[None, :]                               # (W, F)
+    desc_w = m.kf_desc[win_c[:, None],
+                       jnp.clip(fidx_w, 0, F - 1)]              # (W, F, 8)
+    # pairwise Hamming between the observations of each point: (F, W, W)
+    x = jnp.bitwise_xor(desc_w[:, None], desc_w[None, :])       # (W,W,F,8)
+    pd = jnp.sum(jax.lax.population_count(x), axis=-1)          # (W, W, F)
+    pd = jnp.transpose(pd, (2, 0, 1)).astype(jnp.int32)         # (F, W, W)
+    pair_ok = has_obs.T[:, :, None] & has_obs.T[:, None, :]
+    BIGD = jnp.int32(1 << 12)
+    pd = jnp.where(pair_ok, pd, BIGD)
+    srt = jnp.sort(pd, axis=-1)                                 # (F, W, W)
+    cnt = jnp.sum(has_obs.T, axis=-1)                           # (F,)
+    med_pos = jnp.clip((cnt[:, None] - 1) // 2,
+                       0, Wn - 1)                               # incl. self 0
+    med = jnp.take_along_axis(
+        srt, jnp.broadcast_to(med_pos[:, :, None], (F, Wn, 1)),
+        axis=-1)[..., 0]                                        # (F, W)
+    med = jnp.where(has_obs.T, med, BIGD)
+    best_w = jnp.argmin(med, axis=-1)                           # (F,)
+    rep = desc_w[best_w, jnp.arange(F)]                         # (F, 8)
+    # hysteresis: only replace a representative that has gone STALE
+    # against the newest observation (> ~3x the per-observation descriptor
+    # noise). A per-keyframe medoid over the small recent window is
+    # otherwise high-variance — reps churn every keyframe and measurably
+    # destabilize tracking on marginal segments — while the reference's
+    # medoid over ALL observations is naturally stable. With persistent
+    # appearance this gate never fires (round-2 behavior, bit-exact);
+    # under genuine viewpoint-driven drift the rep follows.
+    d_rep = jnp.sum(jax.lax.population_count(
+        jnp.bitwise_xor(m.mp_desc[rows_cur_pt], kp_desc)), axis=-1)
+    do_write = (cur_obs >= 0) & (cnt >= 2) & kf_ok & (d_rep > 24)
+    from ..utils import masked_set as _mset
+    m = m._replace(mp_desc=_mset(m.mp_desc, rows_cur_pt, rep, do_write))
 
     # ---- 5. normal + scale-band refresh (MapPoint::UpdateNormalAndDepth,
     # mappoint.cc): the mean unit viewing direction over ALL observing

@@ -114,6 +114,7 @@ class StereoTracker(MonoTracker):
         self.velocity = lie.se3_identity()
         self.last_kf_id = int(kf0)
         self.last_kf_tracked = int(jnp.sum(mp_ids >= 0))
+        self._last_kf_tracked_dev = None
         self.frames_since_kf = 0
         self.state = TrackState.OK
         if self.loop_closer is not None:

@@ -449,6 +449,14 @@ class InertialMixin:
         # whole map: a background local BA in flight would both feed it
         # un-refined geometry and later scatter pre-transform poses back
         self._lba_drain()
+        # ...and an in-flight background GBA snapshot holds PRE-transform
+        # geometry that its adoption would scatter over the rotated map —
+        # the relative-correction propagation of _adopt_gba cannot
+        # represent a global gauge change (reference: mbStopGBA is raised
+        # before any whole-map rewrite). Measured failure: loop-closure
+        # GBA pending across IMU init destroyed the map outright.
+        if self.loop_closer is not None:
+            self.loop_closer.pending_gba = None
         n_kf = int(self.map.n_kf)
         ifac = self._inertial_factor_batch(0, n_kf)
         if ifac is None or ifac.i.shape[0] < self.init_min_kfs - 2:
@@ -589,6 +597,10 @@ class InertialMixin:
         # a background visual LBA in flight solved the same window rows:
         # adopt it first so its later write-back can't clobber this solve
         self._lba_drain()
+        # a pending GBA snapshot would likewise scatter pre-VI-BA values
+        # over rows this solve is about to refine — drop it (rare, cheap)
+        if self.loop_closer is not None:
+            self.loop_closer.pending_gba = None
         cfg = self.cfg
         n_kf = int(self.map.n_kf)
         start = int(ids[0])

@@ -37,6 +37,43 @@ class SyntheticWorld(NamedTuple):
     # MapPoint scale-prediction machinery (PredictScale + octave gates).
     # None = legacy scale-free rendering (all octave 0).
     ref_dist: Optional[np.ndarray] = None
+    # viewpoint-dependent appearance (exercises the distinctive-descriptor
+    # refresh, reference MapPoint::ComputeDistinctiveDescriptors,
+    # mappoint.h:139): (P, 4, 8) uint32 — one descriptor variant per
+    # horizontal view QUADRANT of the point; a real BRIEF descriptor of a
+    # 3D corner drifts with viewing direction, so a representative frozen
+    # at triangulation time stops matching after the camera swings around
+    # the structure. None = persistent descriptors (legacy).
+    quad_desc: Optional[np.ndarray] = None
+
+
+def make_quadrant_descriptors(desc: np.ndarray, rng: np.random.RandomState,
+                              drift_bits: int = 80) -> np.ndarray:
+    """(P, 8) base descriptors -> (P, 4, 8) per-view-quadrant variants.
+
+    Quadrants differ by ~2*drift_bits*(1-drift_bits/256) bits — at the
+    default 80 that is ~110, past TH_HIGH, so a descriptor frozen at
+    creation time stops matching once the camera has swung a quadrant
+    around the point, while observations from the same quadrant still
+    match each other (4-8 bits apart).
+    """
+    P = desc.shape[0]
+    out = np.empty((P, 4, 8), np.uint32)
+    for q in range(4):
+        mask = np.zeros((P, 256), bool)
+        cols = rng.randint(0, 256, (P, drift_bits))
+        mask[np.arange(P)[:, None], cols] = True
+        words = np.packbits(mask.reshape(P, 8, 32),
+                            axis=-1, bitorder='little')
+        xor = words.view(np.uint32).reshape(P, 8)
+        out[:, q] = desc ^ (xor if q else 0)
+    return out
+
+
+def _view_quadrant(view_dir: np.ndarray) -> np.ndarray:
+    """(N, 3) point->camera directions -> (N,) quadrant index 0..3."""
+    ang = np.arctan2(view_dir[:, 1], view_dir[:, 0])
+    return ((ang + np.pi) / (np.pi / 2.0)).astype(np.int64) % 4
 
 
 def _canonical_distances(pts: np.ndarray, cam_positions: np.ndarray,
@@ -262,7 +299,15 @@ def render_frame(
         octv = np.clip(octv, 0, 7).astype(np.int32)
     else:
         octv = np.zeros(n, np.int32)
-    desc = world.descriptors[idx].copy()
+    if world.quad_desc is not None:
+        # viewpoint-dependent appearance: descriptor variant chosen by the
+        # horizontal quadrant of the point->camera direction
+        C = np.asarray(lie.se3_apply(lie.se3_inverse(pose), jnp.zeros(3)))
+        vdir = C[None, :] - world.points[idx]
+        quad = _view_quadrant(vdir)
+        desc = world.quad_desc[idx, quad].copy()
+    else:
+        desc = world.descriptors[idx].copy()
     # random bit flips
     if desc_bit_flips > 0:
         for _ in range(desc_bit_flips):
@@ -397,6 +442,15 @@ def make_vio_sequence(
     return VioSequence(world=world, frame_imu=frame_imu,
                        vel=np.stack(vels), gravity=g_w,
                        gyro_bias_true=bg, acc_bias_true=ba_)
+
+
+def with_viewdep_descriptors(world: SyntheticWorld, seed: int = 0,
+                             drift_bits: int = 80) -> SyntheticWorld:
+    """Equip a world with viewpoint-dependent (per-view-quadrant)
+    descriptors — see SyntheticWorld.quad_desc."""
+    rng = np.random.RandomState(seed ^ 0x5EED)
+    return world._replace(quad_desc=make_quadrant_descriptors(
+        world.descriptors, rng, drift_bits))
 
 
 def gt_positions(world: SyntheticWorld) -> np.ndarray:

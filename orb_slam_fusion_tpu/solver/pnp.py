@@ -84,9 +84,18 @@ def pnp_ransac(
     n_hyp: int = 256,
     min_inliers: int = 15,
     cam_model: str = cameras.PINHOLE,
+    inv_sigma2: jnp.ndarray | None = None,
 ) -> PnPResult:
+    """inv_sigma2: per-observation information 1/sigma^2 from the keypoint
+    octave — the measurement-covariance weighting of the reference's ML-PnP
+    (mlpnp_solver.cc propagates per-bearing covariances into the solve):
+    the chi2 inlier gate scales with sigma2 and the LM polish weights each
+    residual by its information, so coarse-octave observations neither veto
+    inliers nor dominate the refined pose. None = unit weights."""
     n = X.shape[0]
     rays = cameras.unproject(cam_model, cam_params, uv)
+    if inv_sigma2 is None:
+        inv_sigma2 = jnp.ones(n, X.dtype)
 
     g = jax.random.gumbel(key, (n_hyp, n))
     g = jnp.where(valid[None, :], g, -jnp.inf)
@@ -96,15 +105,18 @@ def pnp_ransac(
     pc = jnp.einsum("hij,nj->hni", R, X) + t[:, None, :]
     pred = cameras.project(cam_model, cam_params, pc)
     err2 = jnp.sum((pred - uv[None]) ** 2, axis=-1)
-    inl = valid[None, :] & (pc[..., 2] > 0.05) & (err2 < max_err_px ** 2)
+    # chi2 gate at the observation's own covariance (sigma2 = 1/inv_sigma2)
+    inl = valid[None, :] & (pc[..., 2] > 0.05) \
+        & (err2 * inv_sigma2[None, :] < max_err_px ** 2)
     scores = jnp.sum(inl.astype(jnp.int32), axis=1)
     best = jnp.argmax(scores)
 
     pose0 = lie.SE3(R[best], t[best])
     inliers0 = inl[best]
-    # polish with the standard pose LM on the inlier set
+    # polish with the standard pose LM on the inlier set, information-
+    # weighted (the reference's final GN over covariance-weighted bearings)
     pose, inliers, n_in = pose_optimization(
-        pose0, X, uv, jnp.ones(n, X.dtype), inliers0, cam_params,
+        pose0, X, uv, inv_sigma2, inliers0, cam_params,
         cam_model=cam_model, rounds=2)
     return PnPResult(ok=n_in >= min_inliers, pose=pose,
                      inliers=inliers, n_inliers=n_in)

@@ -1,0 +1,128 @@
+"""Distinctive-descriptor refresh (MapPoint::ComputeDistinctiveDescriptors).
+
+Reference: mappoint.h:139 / mappoint.cc — a MapPoint's representative
+descriptor is re-selected after observation changes as the observation with
+minimum median Hamming distance to the others. Round-2 verdict missing #5:
+mp_desc was frozen at triangulation, which is invisible on persistent-
+descriptor sims. These tests use viewpoint-dependent appearance
+(sim.with_viewdep_descriptors): the camera orbits a point cloud LOOKING AT
+ITS CENTER, so the viewing direction onto every point sweeps quadrants.
+The map is built over the first arc, then FROZEN (localization-only — no
+new keyframes, no new points, exactly the reference's
+ActivateLocalizationMode); the continued sweep can only be tracked if the
+representatives were refreshed to the latest appearance during mapping.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam_fusion_tpu import lie, sim
+from orb_slam_fusion_tpu.engine import MonoTracker, SlamConfig
+from orb_slam_fusion_tpu.frontend.extractor import OrbParams
+
+CFG = SlamConfig(
+    cam_params=(400.0, 400.0, 376.0, 240.0),
+    image_size=(480, 752),
+    orb=OrbParams(n_features=512),
+    max_keyframes=160,
+    max_map_points=12288,
+    ba_window=6,
+    loop_closing=False,
+)
+N_MAP = 100      # mapping arc: ~115 deg of orbit
+N_LOC = 40       # localization-only continuation: ~46 deg more
+N_TOTAL = N_MAP + N_LOC
+
+
+def _lookat_orbit_world(n_frames, n_points=3000, seed=4, radius=8.0):
+    """Camera orbits in the world xy-plane looking at the cloud center;
+    the view quadrant onto every point sweeps with the orbit angle."""
+    rng = np.random.RandomState(seed)
+    pts = rng.randn(n_points, 3).astype(np.float32) * 1.5
+    desc = rng.randint(0, 2 ** 32, size=(n_points, 8),
+                       dtype=np.uint64).astype(np.uint32)
+    Rs, ts = [], []
+    for k in range(n_frames):
+        a = 2.0 * np.pi * k / 310.0          # ~1.16 deg / frame
+        C = radius * np.array([np.cos(a), np.sin(a), 0.0])
+        z_c = -C / np.linalg.norm(C)         # forward: at the center
+        up = np.array([0.0, 0.0, 1.0])
+        x_c = np.cross(z_c, up)
+        x_c = x_c / np.linalg.norm(x_c)
+        y_c = np.cross(z_c, x_c)
+        R_wc = np.stack([x_c, y_c, z_c], axis=1)
+        R_cw = R_wc.T
+        Rs.append(R_cw)
+        ts.append(-R_cw @ C)
+    poses = lie.SE3(jnp.asarray(np.stack(Rs), jnp.float32),
+                    jnp.asarray(np.stack(ts), jnp.float32))
+    d = np.linalg.norm(pts - 0.0, axis=1) + radius
+    ref = (d * 1.2 ** rng.uniform(0, 2, n_points)).astype(np.float32)
+    w = sim.SyntheticWorld(pts, desc, poses,
+                           np.arange(n_frames) / 20.0, ref)
+    return sim.with_viewdep_descriptors(w, seed=seed)
+
+
+def _run(world, refresh: bool):
+    tracker = MonoTracker(CFG)
+    # disable keyframe culling for the A/B: redundancy culling erases the
+    # observation rows of dropped keyframes, capping every track at the
+    # surviving-keyframe density and masking the descriptor effect
+    tracker._cull_keyframes = lambda: None
+    if not refresh:
+        # freeze representatives at creation (the round-2 behavior):
+        # restore pre-insert descriptors for pre-existing points
+        orig = tracker._insert_keyframe
+
+        def frozen_insert(feats, timestamp, obs):
+            desc_before = tracker.map.mp_desc
+            n_before = int(tracker.map.n_mp)
+            orig(feats, timestamp, obs)
+            m = tracker.map
+            keep = jnp.arange(m.max_mp) < n_before
+            tracker.map = m._replace(mp_desc=jnp.where(
+                keep[:, None], desc_before, m.mp_desc))
+
+        tracker._insert_keyframe = frozen_insert
+    cam = jnp.asarray(CFG.cam_params)
+    states, tracked = [], []
+    for k in range(N_TOTAL):
+        if k == N_MAP:       # freeze the map: localization-only
+            tracker._need_new_keyframe = lambda n: False
+        feats = sim.render_frame(world, k, cam, CFG.image_size,
+                                 CFG.orb.n_features, seed=17,
+                                 pixel_noise=0.4, desc_bit_flips=4,
+                                 dropout=0.1)
+        rec = tracker.process_features(feats, float(world.timestamps[k]))
+        states.append(rec.state)
+        tracked.append(rec.tracked)
+    return tracker, states, tracked
+
+
+@pytest.fixture(scope="module")
+def orbit_world():
+    return _lookat_orbit_world(N_TOTAL)
+
+
+def test_refresh_keeps_tracking_when_map_frozen(orbit_world):
+    _, states, tracked = _run(orbit_world, refresh=True)
+    loc_ok = sum(1 for s in states[N_MAP:] if s == "ok")
+    assert loc_ok >= int(N_LOC * 0.9), (
+        f"refresh ON lost tracking in localization phase: {loc_ok}/{N_LOC}"
+        f" (tail states {states[N_MAP:][:10]})")
+
+
+def test_frozen_descriptors_lose_matches(orbit_world):
+    """The refresh must be load-bearing: under viewpoint-dependent
+    appearance, frozen creation-time representatives stop matching as the
+    view quadrant sweeps (points die to culling and are re-created as
+    fresh duplicates, losing their accumulated observations each time),
+    costing a significant fraction of the per-frame matched observations
+    over the run; refreshed representatives follow the appearance."""
+    _, _, tracked_on = _run(orbit_world, refresh=True)
+    _, _, tracked_off = _run(orbit_world, refresh=False)
+    sum_on = sum(tracked_on)
+    sum_off = sum(tracked_off)
+    assert sum_on > 1.1 * max(sum_off, 1), (
+        f"refresh not load-bearing: matches on={sum_on} off={sum_off}")
