@@ -123,6 +123,9 @@ def run_sequence_stereo_imu(seq: str, n_frames: int) -> float:
             acc, gyro, tm = vio.frame_imu[k - 1]
         states.append(tracker.process_stereo_imu(
             fL, fR, float(world.timestamps[k]), acc, gyro, tm).state)
+        if k > 0 and k % 500 == 0:
+            print(f"  [{seq} {k}/{len(t)}] {k/(time.time()-t0):.1f} fps "
+                  f"kf={int(tracker.map.n_kf)}", flush=True)
     wall = time.time() - t0
     traj = tracker.trajectory_tum()
     gt = sim.gt_positions(world)
@@ -181,6 +184,9 @@ def run_sequence(seq: str, n_frames: int, stride: int = 10) -> float:
                                  pixel_noise=0.4, desc_bit_flips=4,
                                  dropout=0.1)
         states.append(tracker.process_features(feats, float(t[k])).state)
+        if k > 0 and k % 500 == 0:
+            print(f"  [{seq} {k}/{len(t)}] {k/(time.time()-t0):.1f} fps "
+                  f"kf={int(tracker.map.n_kf)}", flush=True)
     wall = time.time() - t0
     traj = tracker.trajectory_tum()
     gt = sim.gt_positions(world)

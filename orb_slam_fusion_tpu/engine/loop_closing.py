@@ -53,7 +53,11 @@ def _detect_candidates(m: ms.MapState, bow, present, vocab, kf_id,
     groups = (W[ids_c] > 0) | (jax.nn.one_hot(
         ids_c, m.max_kf, dtype=jnp.int32) > 0)
     groups = groups & (ids >= 0)[:, None]
-    return ids, scores, groups
+    # gate observability: how many database entries even survived the
+    # covisibility + temporal exclusion (0 => detection is structurally
+    # disabled, not merely under-scoring)
+    n_elig = jnp.sum(present & ~exclude)
+    return ids, scores, groups, n_elig
 
 
 def _make_vocabulary(cfg, vocab_words: int):
@@ -243,14 +247,15 @@ class LoopCloser:
 
         # fused detection: covisibility exclusion + temporal guard + BoW
         # scoring in one dispatch, resolved at the NEXT keyframe
-        ids, scores, groups = _detect_candidates(
+        ids, scores, groups, n_elig = _detect_candidates(
             m, self.db.bow, self.db.present, self.db.vocab,
             jnp.int32(kf_id), jnp.int32(max(0, kf_id - 6)),
             levels=self.db.levels)
-        self._pending_detect = (kf_id, ids, groups)
+        self._pending_detect = (kf_id, ids, groups, scores, n_elig)
         return fired
 
-    def _resolve_detection(self, tracker, kf_id: int, ids, groups) -> bool:
+    def _resolve_detection(self, tracker, kf_id: int, ids, groups,
+                           scores=None, n_elig=None) -> bool:
         """Consume a deferred detection: temporal consistency + staged
         verification + correction for keyframe `kf_id`."""
         if kf_id >= int(tracker.map.n_kf):
@@ -258,6 +263,17 @@ class LoopCloser:
         ids = np.asarray(ids)
         groups = np.asarray(groups)
         self.stats["queries"] += 1
+        # detection-gate observability (round-3 verdict: candidates:0 in
+        # stereo-inertial with no way to tell WHICH gate was responsible)
+        if n_elig is not None:
+            ne = int(n_elig)
+            self.stats["elig_last"] = ne
+            if ne == 0:
+                self.stats["elig_zero"] = self.stats.get("elig_zero", 0) + 1
+        if scores is not None:
+            bs = float(np.asarray(scores)[0])
+            self.stats["best_score_max"] = max(
+                self.stats.get("best_score_max", -1.0), bs)
 
         # temporal consistency (reference loopclosing.cc:303-391): a
         # candidate's covisibility group must intersect groups detected at

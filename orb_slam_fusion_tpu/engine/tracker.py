@@ -155,7 +155,6 @@ class MonoTracker:
         self.last_kf_id = -1
         self.last_kf_tracked = 0
         self._last_kf_tracked_dev = None   # lazily-read device scalar
-        self._culls_since = 0
         self.frames_since_kf = 0
         self.frame_id = 0
         self.trajectory: list[FrameRecord] = []
@@ -796,14 +795,12 @@ class MonoTracker:
         self._last_kf_tracked_dev = res.stats[1]
 
         # ---- keyframe culling (reference KeyFrameCulling) ----------------
-        # amortized: the redundancy reduction syncs the host; running it
-        # every third keyframe keeps the policy while keeping two of three
-        # keyframe frames sync-free (culling is idempotent and lazy —
-        # a redundant keyframe culled two inserts later is still culled)
-        self._culls_since += 1
-        if self._culls_since >= 3:
-            self._culls_since = 0
-            self._cull_keyframes()
+        # every mapping cycle, like the reference (localmapping.cc:791).
+        # A round-3 every-3rd amortization saved the host sync but let
+        # redundancy accumulate between passes; combined with the
+        # batch-stale redundancy vector it over-culled camera-rate mono
+        # into a 3.5x ATE regression (V101: 357 -> 149 KFs).
+        self._cull_keyframes()
 
         self.last_kf_id = kf_id
         self.frames_since_kf = 0
@@ -1003,22 +1000,32 @@ class MonoTracker:
         n_kf = int(m.n_kf)
         if n_kf < 6:
             return
-        memb = ms.observation_mask(m)               # (K, M)
-        obs_count = jnp.sum(memb, axis=0)           # (M,)
-        # fraction of each KF's points seen by >= 4 KFs (self + 3 others)
-        pts = memb & (obs_count[None, :] >= 4)
-        n_pts = jnp.maximum(jnp.sum(memb, axis=1), 1)
-        redundant = jnp.sum(pts, axis=1) / n_pts
-        redundant = np.asarray(redundant)
+        memb = np.array(ms.observation_mask(m))     # (K, M), mutable copy
+        obs_count = memb.sum(axis=0)                # (M,)
+        # Sequential culling with LIVE observation counts: the reference
+        # culls one keyframe at a time and SetBadFlag erases its
+        # observations before the next candidate is examined
+        # (localmapping.cc:791-930, keyframe.cc SetBadFlag). A batch pass
+        # against a stale redundancy vector lets a whole run of mutually
+        # redundant neighbours die together, leaving coverage holes —
+        # measured as the round-3 camera-rate KF collapse (357 -> 149 KFs
+        # on V101) and its 3.5x ATE regression.
         for k in range(max(1, n_kf - 10), n_kf - 2):
-            if bool(m.kf_valid[k]) and redundant[k] > 0.9 \
-                    and self._can_cull(k):
+            if not (bool(m.kf_valid[k]) and self._can_cull(k)):
+                continue
+            mk = memb[k]
+            n_pts = max(int(mk.sum()), 1)
+            # points seen by >= 4 live KFs (self + 3 others)
+            n_red = int((mk & (obs_count >= 4)).sum())
+            if n_red / n_pts > 0.9:
                 self.map = self.map._replace(
                     kf_valid=self.map.kf_valid.at[k].set(False),
                     kf_obs_mp=self.map.kf_obs_mp.at[k].set(-1),
                 )
                 if self.loop_closer is not None:
                     self.loop_closer.db.remove(k)
+                obs_count -= mk
+                memb[k] = False
                 m = self.map
 
     def _reset_prior(self) -> None:
@@ -1115,22 +1122,16 @@ class MonoTracker:
         if done:
             self._pending_lba = None
         elif moved and not first:
-            # a POLISH chunk still moving the window means the solve is not
-            # yet converged. Round 2 drained synchronously on the FIRST
-            # such chunk, which degenerated the pipeline to synchronous
-            # exactly under fast motion (verdict weak #6). One moving
-            # polish chunk is normal convergence tail; a STREAK of them
-            # means the map is genuinely under stress (fresh weak
-            # triangulations, aggressive motion) and tracking cannot
-            # afford to match against half-converged geometry — drain
-            # then. The streak threshold keeps the common case overlapped
-            # while preserving the correctness backstop.
-            p.moving_streak = getattr(p, "moving_streak", 0) + 1
-            if p.moving_streak >= 2:
-                self._lba_drain()
-        elif not moved:
-            if hasattr(p, "moving_streak"):
-                p.moving_streak = 0
+            # a POLISH chunk that STILL moves the window after the initial
+            # bulk scatter means the solve has not converged: tracking must
+            # never match against half-converged geometry, so drain the
+            # remaining chunks synchronously now. (A round-3 "streak"
+            # relaxation adopted one moving chunk and kept tracking against
+            # it — that single change collapsed every visual path, stereo
+            # e2e ATE 477 m. The reference never exposes mid-solve state to
+            # tracking: localmapping.cc:106-146 runs BA to completion under
+            # the map mutex, with mbAbortBA:226 as the only early exit.)
+            self._lba_drain()
 
     def _lba_drain(self) -> None:
         while self._pending_lba is not None:
