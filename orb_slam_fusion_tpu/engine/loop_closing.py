@@ -686,7 +686,8 @@ class LoopCloser:
         from ..parallel.dist_ba import distributed_bundle_adjustment
         g = ChunkedGBA(tracker, self.cfg)
         g.lm.poses, g.lm.points, _ = distributed_bundle_adjustment(
-            g.prob, tracker.mesh, cam_model=self.cfg.cam_model, iters=10)
+            g.prob, tracker.mesh, cam_model=self.cfg.cam_model, iters=3,
+            iters_second=7)
         g.lm.phase = 2
         self.pending_gba = g
         self._adopt_gba(tracker)

@@ -11,5 +11,6 @@ optimizer step.
 
 from .dist_ba import distributed_bundle_adjustment, make_slam_mesh  # noqa: F401
 from .dist_pose_graph import distributed_pose_graph  # noqa: F401
+from .dist_vi_ba import distributed_visual_inertial_ba  # noqa: F401
 from .dist_track import (  # noqa: F401
     DistFrameResult, distributed_frame_update, pad_map_for_mesh)

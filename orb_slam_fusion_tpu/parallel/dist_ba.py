@@ -3,19 +3,29 @@
 Decomposition (the BASELINE.json north-star design):
 
 * **Landmarks shard** across the mesh axis ``mp`` — each device owns M/D
-  landmarks, their 3x3 Hessian blocks, their Schur cross terms, and their
-  back-substitution.
+  landmarks AND their observations: residual/Jacobian evaluation, the 3x3
+  block diagonals, the Schur cross terms, the robust-cost partial sums and
+  the back-substitution are all local to the owning device. Per-device
+  work is O(F/D); the only replicated compute is the dense solve of the
+  reduced camera system (6K x 6K — tiny for SLAM windows).
 * **Poses replicate** — every device holds all K pose blocks (poses are the
   small dimension in SLAM; a 1000-KF map is 36 KB of pose blocks).
-* The reduced camera system ``S = Hpp - sum_l W_l Hll_l^-1 W_l^T`` is a sum
-  of per-landmark contributions -> one ``psum`` over the mesh, then a
-  replicated dense Cholesky. This mirrors distributed data-parallel
+* The reduced camera system ``S = Hpp - sum_l W_l Hll_l^-1 W_l^T`` and the
+  robust cost are sums of per-landmark contributions -> one ``psum`` each
+  per LM iteration over the mesh. This mirrors distributed data-parallel
   training: per-device partial reductions, collective, replicated update.
 
-Factor arrays are replicated in this first implementation (they are a few
-MB); the per-landmark gather pulls only the owned rows. The same structure
-extends to multi-host DCN meshes unchanged — `psum` rides ICI within a
-slice and DCN across.
+The ENTIRE two-phase LM loop runs inside one ``shard_map`` + ``lax.scan``
+program: factors never exist replicated (the round-3 implementation
+evaluated all F factors on every device, so the "distributed" solve did
+D times the factor work and measured 2.8x SLOWER than single-device on an
+8-way mesh — the sharded layout here makes factor evaluation genuinely
+data-parallel). The same structure extends to multi-host DCN meshes
+unchanged — ``psum`` rides ICI within a slice and DCN across.
+
+Factor data is pre-gathered into landmark-major (M, O) tables (the
+``lm_factor_idx`` grouping that the Schur elimination needs anyway), so
+sharding the landmark axis automatically shards the observations.
 """
 
 from __future__ import annotations
@@ -27,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import cameras, lie
 from ..solver import robust
@@ -53,147 +63,216 @@ def _pad_to_multiple(x, mult, axis=0, fill=0):
     return jnp.pad(x, widths, constant_values=fill)
 
 
+def _landmark_major(prob: BAProblem):
+    """Gather the flat factor arrays into landmark-major (M, O) tables.
+
+    Every factor that survives the ``lm_factor_idx`` grouping (i.e. within
+    the per-landmark max_obs cap — exact for window problems) appears in
+    exactly one (landmark, slot) cell, so sharding the landmark axis
+    shards the factor set."""
+    F = prob.kf_idx.shape[0]
+    fidx = jnp.clip(prob.lm_factor_idx, 0, max(F - 1, 0))     # (M, O)
+    val = prob.lm_factor_valid & prob.valid[fidx]
+    kf_of = jnp.where(val, prob.kf_idx[fidx], 0)
+    uv = prob.uv[fidx]
+    isig = jnp.where(val, prob.inv_sigma2[fidx], 0.0)
+    has_stereo = (prob.stereo_mask is not None
+                  and prob.stereo_mask.shape[0] == F)
+    if has_stereo:
+        ur = prob.u_right[fidx]
+        sm = prob.stereo_mask[fidx] & val
+    else:
+        ur = jnp.zeros_like(isig)
+        sm = jnp.zeros(val.shape, bool)
+    return kf_of, uv, isig, val, ur, sm
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "cam_model", "iters", "chi2_th"),
+    static_argnames=("mesh", "cam_model", "iters", "iters_second",
+                     "chi2_th"),
 )
-def _dist_lm_run(poses, points, prob: BAProblem, mesh: Mesh,
-                 cam_model: str, iters: int, chi2_th: float):
-    """LM iterations with the Schur reduction sharded over mesh axis 'mp'.
+def _dist_lm_run(poses, points, kf_of, uv, isig, valid, ur, sm,
+                 fixed_point, fixed_pose, cam_params, bf, mesh: Mesh,
+                 cam_model: str, iters: int, iters_second: int,
+                 chi2_th: float):
+    """Two-phase LM, landmark-sharded over mesh axis 'mp': `iters` robust
+    iterations, a chi2 outlier re-mask, then `iters_second` plain
+    Gauss-Newton-weighted iterations (the reference local-BA pattern,
+    optimizer.cc:1192-1250 — same as the single-device
+    ba.bundle_adjustment).
 
-    `points`, `prob.lm_factor_idx/valid`, `prob.fixed_point` must already be
-    padded to a multiple of the mesh size.
+    All (M, ...) inputs must be padded to a multiple of the mesh size;
+    padded rows carry valid=False and fixed_point=True.
     """
-    D = mesh.shape["mp"]
     K = poses.t.shape[0]
-    M = points.shape[0]
     dtype = points.dtype
-
-    # Replicated factor-level arrays; landmark-level arrays sharded.
     lm_spec = P("mp")
     rep = P()
 
-    def step(poses, points, lam):
-        # --- replicated factor evaluation ------------------------------
-        r, Jp, Jl, depth_ok = _eval_factors(poses, points, prob, cam_model)
-        active = prob.valid & depth_ok
-        chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
-        w = jnp.where(active,
-                      robust.huber_weight(chi2, chi2_th) * prob.inv_sigma2,
-                      0.0).astype(dtype)
-        Hpp_f = jnp.einsum("fik,f,fil->fkl", Jp, w, Jp)
-        Hll_f = jnp.einsum("fik,f,fil->fkl", Jl, w, Jl)
-        Hpl_f = jnp.einsum("fik,f,fil->fkl", Jp, w, Jl)
-        gp_f = jnp.einsum("fik,f,fi->fk", Jp, w, r)
-        gl_f = jnp.einsum("fik,f,fi->fk", Jl, w, r)
+    def shard_fn(points_s, kf_s, uv_s, isig_s, val_s, ur_s, sm_s, fixpt_s,
+                 poses, fixed_pose, cam_params, bf):
+        Ms, O = kf_s.shape
 
-        # one-hot contraction instead of segment_sum (TPU scatters
-        # serialize; this is a small (F, K) matmul)
-        P_f = (prob.kf_idx[:, None]
-               == jnp.arange(K, dtype=prob.kf_idx.dtype)[None, :]
-               ).astype(dtype)
-        Hpp = jnp.einsum("fk,fij->kij", P_f, Hpp_f)
-        gp = jnp.einsum("fk,fi->ki", P_f, gp_f)
+        def flat(x):
+            return x.reshape((Ms * O,) + x.shape[2:])
 
-        # --- landmark-sharded Schur assembly ---------------------------
-        def schur_local(lm_idx, lm_val, fixed_pt):
-            # lm_idx: (M/D, O) rows into replicated factor arrays
-            obs_mask = lm_val
-            Wg = jnp.where(obs_mask[..., None, None], Hpl_f[lm_idx], 0.0)
-            Hll = jnp.sum(
-                jnp.where(obs_mask[..., None, None], Hll_f[lm_idx], 0.0),
-                axis=1)                                     # (M/D,3,3)
-            gl = jnp.sum(
-                jnp.where(obs_mask[..., None], gl_f[lm_idx], 0.0), axis=1)
-            eye3 = jnp.eye(3, dtype=dtype)
+        # local flat factor problem over this shard's observations; the
+        # landmark grouping is the trivial (Ms, O) reshape
+        loc = BAProblem(
+            poses=poses, points=points_s,
+            kf_idx=flat(kf_s),
+            mp_idx=jnp.repeat(jnp.arange(Ms, dtype=jnp.int32), O),
+            uv=flat(uv_s), inv_sigma2=flat(isig_s), valid=flat(val_s),
+            fixed_pose=fixed_pose, fixed_point=fixpt_s,
+            cam_params=cam_params,
+            lm_factor_idx=jnp.arange(
+                Ms * O, dtype=jnp.int32).reshape(Ms, O),
+            lm_factor_valid=val_s,
+            u_right=flat(ur_s), stereo_mask=flat(sm_s), bf=bf)
+        # stereo factors are 3-dof: chi2 threshold scales (reference
+        # 7.815 vs 5.991, optimizer.cc:118,151)
+        th_f = jnp.where(loc.stereo_mask,
+                         chi2_th * robust.CHI2_3D / robust.CHI2_2D,
+                         jnp.asarray(chi2_th, dtype))
+        eye3 = jnp.eye(3, dtype=dtype)
+        eye6 = jnp.eye(6, dtype=dtype)
+        eyeK = jnp.eye(K, dtype=dtype)
+        fp = fixed_pose
+
+        def cost_at(ps, pt, inlier):
+            r, fin = _eval_residuals(ps, pt, loc, cam_model)
+            chi2 = jnp.sum(r * r, axis=-1) * loc.inv_sigma2
+            act = loc.valid & inlier & fin
+            local = jnp.sum(jnp.where(act, robust.huber_rho(chi2, th_f),
+                                      0.0))
+            return jax.lax.psum(local, "mp")
+
+        def step(poses, points_s, lam, inlier, use_robust):
+            # --- sharded factor evaluation -----------------------------
+            r, Jp, Jl, depth_ok = _eval_factors(poses, points_s, loc,
+                                                cam_model)
+            active = loc.valid & inlier & depth_ok
+            chi2 = jnp.sum(r * r, axis=-1) * loc.inv_sigma2
+            w_rob = (robust.huber_weight(chi2, th_f) if use_robust
+                     else jnp.ones_like(chi2))
+            w = jnp.where(active, w_rob * loc.inv_sigma2,
+                          0.0).astype(dtype)
+
+            Hll_f = jnp.einsum("fik,f,fil->fkl", Jl, w, Jl)
+            Hpl_f = jnp.einsum("fik,f,fil->fkl", Jp, w, Jl)
+            gp_f = jnp.einsum("fik,f,fi->fk", Jp, w, r)
+            gl_f = jnp.einsum("fik,f,fi->fk", Jl, w, r)
+
+            # pose-axis reductions: one-hot contraction over the SHARD's
+            # factors, then psum (no scatter, MXU-friendly)
+            P_f = (loc.kf_idx[:, None]
+                   == jnp.arange(K, dtype=loc.kf_idx.dtype)[None, :]
+                   ).astype(dtype)
+            Hpp = jax.lax.psum(
+                jnp.einsum("fk,fij->kij", P_f,
+                           jnp.einsum("fik,f,fil->fkl", Jp, w, Jp)), "mp")
+            gp = jax.lax.psum(jnp.einsum("fk,fi->ki", P_f, gp_f), "mp")
+
+            # --- landmark elimination (local) --------------------------
+            Hll = jnp.einsum("moij->mij", Hll_f.reshape(Ms, O, 3, 3))
+            gl = jnp.einsum("moi->mi", gl_f.reshape(Ms, O, 3))
             Hll_d = Hll + lam * Hll * eye3 + 1e-8 * eye3
-            fix = fixed_pt[:, None, None]
-            Hll_d = jnp.where(fix, jnp.broadcast_to(eye3, Hll_d.shape), Hll_d)
-            gl = jnp.where(fixed_pt[:, None], 0.0, gl)
+            fix = fixpt_s[:, None, None]
+            Hll_d = jnp.where(fix, jnp.broadcast_to(eye3, Hll_d.shape),
+                              Hll_d)
+            gl = jnp.where(fixpt_s[:, None], 0.0, gl)
             Hll_inv = jnp.where(fix, 0.0, inv3x3(Hll_d))
 
-            pose_of = prob.kf_idx[lm_idx]                  # (M/D,O)
+            # --- Schur cross terms (local) + psum ----------------------
+            Wg = Hpl_f.reshape(Ms, O, 6, 3)
+            obs_mask = val_s
+            Wg = jnp.where(obs_mask[..., None, None], Wg, 0.0)
             E = jnp.einsum("moik,mkl->moil", Wg, Hll_inv)
-            # pairwise cross terms contracted straight into (K,K) blocks
-            # via one-hot memberships (no scatter, no (M,O,O) blow-up)
-            Pm = ((pose_of[..., None]
-                   == jnp.arange(K, dtype=pose_of.dtype))
-                  & obs_mask[..., None]).astype(dtype)     # (M/D,O,K)
+            Pm = ((kf_s[..., None] == jnp.arange(K, dtype=kf_s.dtype))
+                  & obs_mask[..., None]).astype(dtype)      # (Ms,O,K)
             T1 = jnp.einsum("mok,moil->mkil", Pm, E)
             T2 = jnp.einsum("mok,moil->mkil", Pm, Wg)
-            S_local = -jnp.einsum("mkil,mqjl->kqij", T1, T2)
-            # g correction: sum_l W_l Hll_inv gl over owned landmarks
+            S_blocks = jax.lax.psum(
+                -jnp.einsum("mkil,mqjl->kqij", T1, T2), "mp")
             corr = jnp.einsum("moik,mkl,ml->moi", Wg, Hll_inv, gl)
-            g_corr = jnp.einsum("mok,moi->ki", Pm, corr)
-            # collective: sum partial S and g over the mesh
-            S_sum = jax.lax.psum(S_local, "mp")
-            g_sum = jax.lax.psum(g_corr, "mp")
-            return S_sum, g_sum, Hll_inv, gl, Wg, pose_of
+            g_corr = jax.lax.psum(
+                jnp.einsum("mok,moi->ki", Pm, corr), "mp")
 
-        S_blocks, g_corr, Hll_inv, gl, Wg, pose_of = shard_map(
-            schur_local, mesh=mesh,
-            in_specs=(lm_spec, lm_spec, lm_spec),
-            out_specs=(rep, rep, lm_spec, lm_spec, lm_spec, lm_spec),
-        )(prob.lm_factor_idx, prob.lm_factor_valid, prob.fixed_point)
+            # --- replicated reduced-camera solve -----------------------
+            S_blocks = S_blocks + eyeK[:, :, None, None] * Hpp[:, None]
+            g_r = gp - g_corr
+            S_blocks = jnp.where(
+                fp[:, None, None, None] | fp[None, :, None, None],
+                0.0, S_blocks)
+            S_blocks = S_blocks + (eyeK[:, :, None, None]
+                                   * jnp.where(fp[:, None, None], eye6,
+                                               0.0)[:, None])
+            g_r = jnp.where(fp[:, None], 0.0, g_r)
+            S = jnp.transpose(S_blocks, (0, 2, 1, 3)).reshape(K * 6, K * 6)
+            S = S + jnp.diag(lam * jnp.diag(S) + 1e-8)
+            dx_p = -jax.scipy.linalg.solve(S, g_r.reshape(-1),
+                                           assume_a="pos")
+            dx_p = jnp.where(fp[:, None], 0.0, dx_p.reshape(K, 6))
 
-        S_blocks = S_blocks.at[jnp.arange(K), jnp.arange(K)].add(Hpp)
-        g_r = gp - g_corr
-
-        eye6 = jnp.eye(6, dtype=dtype)
-        fp = prob.fixed_pose
-        S_blocks = jnp.where(
-            fp[:, None, None, None] | fp[None, :, None, None], 0.0, S_blocks)
-        S_blocks = S_blocks.at[jnp.arange(K), jnp.arange(K)].add(
-            jnp.where(fp[:, None, None], eye6, 0.0))
-        g_r = jnp.where(fp[:, None], 0.0, g_r)
-
-        S = jnp.transpose(S_blocks, (0, 2, 1, 3)).reshape(K * 6, K * 6)
-        S = S + jnp.diag(lam * jnp.diag(S) + 1e-8)
-        dx_p = -jax.scipy.linalg.solve(S, g_r.reshape(-1), assume_a="pos")
-        dx_p = dx_p.reshape(K, 6)
-        dx_p = jnp.where(fp[:, None], 0.0, dx_p)
-
-        # --- sharded landmark back-substitution ------------------------
-        def backsub_local(Hll_inv, gl, Wg, pose_of, fixed_pt):
-            back = jnp.einsum("moki,mok->moi", Wg, dx_p[pose_of])
+            # --- sharded landmark back-substitution --------------------
+            back = jnp.einsum("moki,mok->moi", Wg, dx_p[kf_s])
             back = jnp.sum(back, axis=1)
             dx_l = jnp.einsum("mij,mj->mi", Hll_inv, -gl - back)
-            return jnp.where(fixed_pt[:, None], 0.0, dx_l)
+            dx_l = jnp.where(fixpt_s[:, None], 0.0, dx_l)
+            return lie.se3_boxplus(poses, dx_p), points_s + dx_l
 
-        dx_l = shard_map(
-            backsub_local, mesh=mesh,
-            in_specs=(lm_spec, lm_spec, lm_spec, lm_spec, lm_spec),
-            out_specs=lm_spec,
-        )(Hll_inv, gl, Wg, pose_of, prob.fixed_point)
+        def make_body(inlier, use_robust):
+            def body(carry, _):
+                poses, points_s, lam, cost0 = carry
+                cand_poses, cand_points = step(poses, points_s, lam,
+                                               inlier, use_robust)
+                cost1 = cost_at(cand_poses, cand_points, inlier)
+                # points are sharded: all-finite on EVERY shard
+                pts_bad = jax.lax.psum(
+                    jnp.any(~jnp.isfinite(cand_points)).astype(jnp.int32),
+                    "mp")
+                finite = (jnp.all(jnp.isfinite(cand_poses.t))
+                          & (pts_bad == 0) & jnp.isfinite(cost1))
+                accept = (cost1 < cost0) & finite
+                poses = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(accept, a, b), cand_poses,
+                    poses)
+                points_s = jnp.where(accept, cand_points, points_s)
+                lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
+                                jnp.minimum(lam * 4.0, 1e6))
+                return (poses, points_s, lam,
+                        jnp.where(accept, cost1, cost0)), cost1
+            return body
 
-        return lie.se3_boxplus(poses, dx_p), points + dx_l
+        # phase 0: robust LM
+        inlier0 = jnp.ones_like(loc.valid)
+        (poses, points_s, _, _), costs1 = jax.lax.scan(
+            make_body(inlier0, True),
+            (poses, points_s, jnp.asarray(1e-4, dtype),
+             cost_at(poses, points_s, inlier0)), None, length=iters)
+        if iters_second == 0:
+            return poses, points_s, costs1
+        # chi2 outlier re-mask (local: each shard re-masks its factors)
+        r, fin = _eval_residuals(poses, points_s, loc, cam_model)
+        chi2 = jnp.sum(r * r, axis=-1) * loc.inv_sigma2
+        inlier1 = (chi2 <= th_f) & fin & loc.valid
+        # phase 1: plain Gauss-Newton weights, trust region restarted
+        (poses, points_s, _, _), costs2 = jax.lax.scan(
+            make_body(inlier1, False),
+            (poses, points_s, jnp.asarray(1e-4, dtype),
+             cost_at(poses, points_s, inlier1)), None,
+            length=iters_second)
+        return poses, points_s, jnp.concatenate([costs1, costs2])
 
-    def cost_at(ps, pt):
-        r, fin = _eval_residuals(ps, pt, prob, cam_model)
-        chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
-        act = prob.valid & fin
-        return jnp.sum(jnp.where(act, robust.huber_rho(chi2, chi2_th), 0.0))
-
-    def body(carry, _):
-        # carried cost + residual-only accept eval: one full-Jacobian
-        # evaluation per iteration instead of three
-        poses, points, lam, cost0 = carry
-        cand_poses, cand_points = step(poses, points, lam)
-        cost1 = cost_at(cand_poses, cand_points)
-        finite = (jnp.all(jnp.isfinite(cand_poses.t))
-                  & jnp.all(jnp.isfinite(cand_points)) & jnp.isfinite(cost1))
-        accept = (cost1 < cost0) & finite
-        poses = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, a, b), cand_poses, poses)
-        points = jnp.where(accept, cand_points, points)
-        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
-                        jnp.minimum(lam * 4.0, 1e6))
-        return (poses, points, lam, jnp.where(accept, cost1, cost0)), cost1
-
-    (poses, points, _, _), costs = jax.lax.scan(
-        body, (poses, points, jnp.asarray(1e-4, dtype),
-               cost_at(poses, points)), None, length=iters)
-    return poses, points, costs
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(lm_spec, lm_spec, lm_spec, lm_spec, lm_spec, lm_spec,
+                  lm_spec, lm_spec, rep, rep, rep, rep),
+        out_specs=(rep, lm_spec, rep),
+        check_vma=False,
+    )(points, kf_of, uv, isig, valid, ur, sm, fixed_point,
+      poses, fixed_pose, cam_params, bf)
 
 
 def distributed_bundle_adjustment(
@@ -201,24 +280,36 @@ def distributed_bundle_adjustment(
     mesh: Mesh,
     cam_model: str = cameras.PINHOLE,
     iters: int = 10,
+    iters_second: int = 0,
     chi2_th: float = robust.CHI2_2D,
 ) -> Tuple[lie.SE3, jnp.ndarray, jnp.ndarray]:
-    """Run `iters` distributed LM iterations. Returns (poses, points, costs).
+    """Distributed two-phase LM: `iters` robust iterations, then (when
+    `iters_second` > 0) a chi2 re-mask + `iters_second` non-robust
+    iterations. Returns (poses, points, costs).
 
     Pads the landmark axis to the mesh size; the padded rows are marked
-    fixed so they are inert.
+    fixed and invalid so they are inert. Factors beyond the landmark
+    grouping's max_obs cap are dropped (exact for window-structured
+    problems, same semantics as the Schur elimination itself).
     """
     D = mesh.shape["mp"]
     M = prob.points.shape[0]
+    kf_of, uv, isig, val, ur, sm = _landmark_major(prob)
     pad = (-M) % D
+    points = _pad_to_multiple(prob.points, D)
+    kf_of = _pad_to_multiple(kf_of, D)
+    uv = _pad_to_multiple(uv, D)
+    isig = _pad_to_multiple(isig, D)
+    val = _pad_to_multiple(val, D)
+    ur = _pad_to_multiple(ur, D)
+    sm = _pad_to_multiple(sm, D)
+    fixed_point = prob.fixed_point
     if pad:
-        prob = prob._replace(
-            points=_pad_to_multiple(prob.points, D),
-            lm_factor_idx=_pad_to_multiple(prob.lm_factor_idx, D),
-            lm_factor_valid=_pad_to_multiple(prob.lm_factor_valid, D),
-            fixed_point=jnp.concatenate(
-                [prob.fixed_point, jnp.ones(pad, bool)]),
-        )
+        fixed_point = jnp.concatenate(
+            [fixed_point, jnp.ones(pad, bool)])
+    bf = prob.bf if prob.bf is not None else jnp.asarray(0.0, jnp.float32)
     poses, points, costs = _dist_lm_run(
-        prob.poses, prob.points, prob, mesh, cam_model, iters, chi2_th)
+        prob.poses, points, kf_of, uv, isig, val, ur, sm,
+        fixed_point, prob.fixed_pose, prob.cam_params, bf, mesh,
+        cam_model, iters, iters_second, chi2_th)
     return poses, points[:M], costs

@@ -79,6 +79,128 @@ def _inertial_res_one(pre_k, info_k, pose_i: lie.SE3, v_i, pose_j: lie.SE3,
     return r
 
 
+def inertial_system(state: VIState, ifac: InertialFactorBatch,
+                    calib: ImuCalib, g_w, bias_rw_info_g: float,
+                    bias_rw_info_a: float, bias_prior_info_g: float,
+                    bias_prior_info_a: float):
+    """Assemble the inertial + bias-walk + bias-prior contributions to the
+    dense (K,D,K,D) normal system (D=15). O(K) work — shared by the
+    single-device VI-BA below and the distributed variant
+    (parallel/dist_vi_ba.py), where it runs replicated on every device
+    next to the landmark-sharded visual reduction."""
+    K = state.poses.t.shape[0]
+    P = ifac.i.shape[0]
+    dtype = state.poses.t.dtype
+    D = 15
+
+    H = jnp.zeros((K, D, K, D), dtype)
+    g = jnp.zeros((K, D), dtype)
+
+    def edge_res(k, dx_i, dx_j):
+        pre_k = jax.tree_util.tree_map(lambda a: a[k], ifac.pre)
+        pi = lie.se3_boxplus(
+            lie.SE3(state.poses.R[ifac.i[k]], state.poses.t[ifac.i[k]]),
+            dx_i[:6])
+        pj = lie.se3_boxplus(
+            lie.SE3(state.poses.R[ifac.j[k]], state.poses.t[ifac.j[k]]),
+            dx_j[:6])
+        return _inertial_res_one(
+            pre_k, None, pi, state.vel[ifac.i[k]] + dx_i[6:9],
+            pj, state.vel[ifac.j[k]] + dx_j[6:9],
+            state.bg[ifac.i[k]] + dx_i[9:12],
+            state.ba[ifac.i[k]] + dx_i[12:15], calib, g_w)
+
+    zero_dx = jnp.zeros(D, dtype)
+
+    def edge_blocks(k):
+        r0 = edge_res(k, zero_dx, zero_dx)
+        Ji = jax.jacfwd(lambda d: edge_res(k, d, zero_dx))(zero_dx)
+        Jj = jax.jacfwd(lambda d: edge_res(k, zero_dx, d))(zero_dx)
+        return r0, Ji, Jj
+
+    r_in, Ji, Jj = jax.vmap(edge_blocks)(jnp.arange(P))
+    w_in = jnp.where(ifac.valid, 1.0, 0.0).astype(dtype)
+    info = ifac.info * w_in[:, None, None]
+    Hii = jnp.einsum("pri,prs,psj->pij", Ji, info, Ji)
+    Hjj = jnp.einsum("pri,prs,psj->pij", Jj, info, Jj)
+    Hij = jnp.einsum("pri,prs,psj->pij", Ji, info, Jj)
+    gi = jnp.einsum("pri,prs,ps->pi", Ji, info, r_in)
+    gj = jnp.einsum("pri,prs,ps->pi", Jj, info, r_in)
+    H = H.at[ifac.i, :, ifac.i, :].add(Hii)
+    H = H.at[ifac.j, :, ifac.j, :].add(Hjj)
+    H = H.at[ifac.i, :, ifac.j, :].add(Hij)
+    H = H.at[ifac.j, :, ifac.i, :].add(jnp.swapaxes(Hij, -1, -2))
+    g = g.at[ifac.i].add(gi)
+    g = g.at[ifac.j].add(gj)
+
+    # ---- bias random-walk edges ------------------------------------
+    rw = jnp.concatenate([
+        jnp.full(3, bias_rw_info_g, dtype),
+        jnp.full(3, bias_rw_info_a, dtype)])
+    db = jnp.concatenate(
+        [state.bg[ifac.j] - state.bg[ifac.i],
+         state.ba[ifac.j] - state.ba[ifac.i]], axis=-1)  # (P,6)
+    gb = rw[None, :] * db * w_in[:, None]
+    Hb = jnp.diag(rw)
+    idx_b = jnp.arange(9, 15)
+    H = H.at[ifac.i[:, None, None], idx_b[:, None],
+             ifac.i[:, None, None], idx_b[None, :]].add(
+        Hb[None] * w_in[:, None, None])
+    H = H.at[ifac.j[:, None, None], idx_b[:, None],
+             ifac.j[:, None, None], idx_b[None, :]].add(
+        Hb[None] * w_in[:, None, None])
+    H = H.at[ifac.i[:, None, None], idx_b[:, None],
+             ifac.j[:, None, None], idx_b[None, :]].add(
+        -Hb[None] * w_in[:, None, None])
+    H = H.at[ifac.j[:, None, None], idx_b[:, None],
+             ifac.i[:, None, None], idx_b[None, :]].add(
+        -Hb[None] * w_in[:, None, None])
+    g = g.at[ifac.i, 9:].add(-gb)
+    g = g.at[ifac.j, 9:].add(gb)
+
+    # ---- bias prior on the first keyframe --------------------------
+    prior = jnp.concatenate([
+        jnp.full(3, bias_prior_info_g, dtype),
+        jnp.full(3, bias_prior_info_a, dtype)])
+    H = H.at[0, idx_b, 0, idx_b].add(prior)
+    g = g.at[0, 9:].add(prior * jnp.concatenate(
+        [state.bg[0], state.ba[0]]))
+    return H, g
+
+
+def inertial_cost_terms(state: VIState, ifac: InertialFactorBatch,
+                        calib: ImuCalib, g_w, bias_rw_info_g: float,
+                        bias_rw_info_a: float, bias_prior_info_g: float,
+                        bias_prior_info_a: float):
+    """Scalar inertial + bias-walk + bias-prior cost at a state (the
+    non-visual half of the VI-BA accept test; shared with the distributed
+    variant)."""
+    P = ifac.i.shape[0]
+
+    def one(k):
+        pre_k = jax.tree_util.tree_map(lambda a: a[k], ifac.pre)
+        pi = lie.SE3(state.poses.R[ifac.i[k]], state.poses.t[ifac.i[k]])
+        pj = lie.SE3(state.poses.R[ifac.j[k]], state.poses.t[ifac.j[k]])
+        return _inertial_res_one(
+            pre_k, None, pi, state.vel[ifac.i[k]], pj,
+            state.vel[ifac.j[k]], state.bg[ifac.i[k]],
+            state.ba[ifac.i[k]], calib, g_w)
+
+    ri = jax.vmap(one)(jnp.arange(P))
+    c_in = jnp.sum(jnp.where(
+        ifac.valid,
+        jnp.einsum("pi,pij,pj->p", ri, ifac.info, ri), 0.0))
+    dbg = state.bg[ifac.j] - state.bg[ifac.i]
+    dba = state.ba[ifac.j] - state.ba[ifac.i]
+    c_b = jnp.sum(jnp.where(
+        ifac.valid,
+        bias_rw_info_g * jnp.sum(dbg * dbg, axis=-1)
+        + bias_rw_info_a * jnp.sum(dba * dba, axis=-1), 0.0))
+    c_prior = (bias_prior_info_g * jnp.sum(state.bg[0] ** 2)
+               + bias_prior_info_a * jnp.sum(state.ba[0] ** 2))
+    return c_in + c_b + c_prior
+
+
 @functools.partial(jax.jit, static_argnames=("cam_model", "iters",
                                              "chi2_th", "use_backward"))
 def visual_inertial_ba(
@@ -123,37 +245,15 @@ def visual_inertial_ba(
         return VIState(poses, state.vel + dx[:, 6:9],
                        state.bg + dx[:, 9:12], state.ba + dx[:, 12:15])
 
-    def inertial_residuals(state: VIState):
-        def one(k):
-            pre_k = jax.tree_util.tree_map(lambda a: a[k], ifac.pre)
-            pi = lie.SE3(state.poses.R[ifac.i[k]], state.poses.t[ifac.i[k]])
-            pj = lie.SE3(state.poses.R[ifac.j[k]], state.poses.t[ifac.j[k]])
-            return _inertial_res_one(
-                pre_k, None, pi, state.vel[ifac.i[k]], pj,
-                state.vel[ifac.j[k]], state.bg[ifac.i[k]],
-                state.ba[ifac.i[k]], calib, g_w)
-        return jax.vmap(one)(jnp.arange(P))
-
     def total_cost(state: VIState, points, inlier):
         prob2 = prob._replace(poses=state.poses)
         r, _, _, dok = _eval_factors(state.poses, points, prob2, cam_model)
         chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
         act = prob.valid & inlier & dok
         c_vis = jnp.sum(jnp.where(act, huber_rho(chi2, chi2_th), 0.0))
-        ri = inertial_residuals(state)
-        c_in = jnp.sum(jnp.where(
-            ifac.valid,
-            jnp.einsum("pi,pij,pj->p", ri, ifac.info, ri), 0.0))
-        # bias random walk between consecutive pairs
-        dbg = state.bg[ifac.j] - state.bg[ifac.i]
-        dba = state.ba[ifac.j] - state.ba[ifac.i]
-        c_b = jnp.sum(jnp.where(
-            ifac.valid,
-            bias_rw_info_g * jnp.sum(dbg * dbg, axis=-1)
-            + bias_rw_info_a * jnp.sum(dba * dba, axis=-1), 0.0))
-        c_prior = (bias_prior_info_g * jnp.sum(state.bg[0] ** 2)
-                   + bias_prior_info_a * jnp.sum(state.ba[0] ** 2))
-        return c_vis + c_in + c_b + c_prior
+        return c_vis + inertial_cost_terms(
+            state, ifac, calib, g_w, bias_rw_info_g, bias_rw_info_a,
+            bias_prior_info_g, bias_prior_info_a)
 
     def lm_step(state: VIState, points, lam, inlier):
         prob2 = prob._replace(poses=state.poses)
@@ -212,76 +312,12 @@ def visual_inertial_ba(
         g = jnp.zeros((K, D), dtype)
         g = g.at[:, :6].add(g_pose)
 
-        # ---- inertial factors via autodiff -----------------------------
-        def edge_res(k, dx_i, dx_j):
-            pre_k = jax.tree_util.tree_map(lambda a: a[k], ifac.pre)
-            pi = lie.se3_boxplus(
-                lie.SE3(state.poses.R[ifac.i[k]], state.poses.t[ifac.i[k]]),
-                dx_i[:6])
-            pj = lie.se3_boxplus(
-                lie.SE3(state.poses.R[ifac.j[k]], state.poses.t[ifac.j[k]]),
-                dx_j[:6])
-            return _inertial_res_one(
-                pre_k, None, pi, state.vel[ifac.i[k]] + dx_i[6:9],
-                pj, state.vel[ifac.j[k]] + dx_j[6:9],
-                state.bg[ifac.i[k]] + dx_i[9:12],
-                state.ba[ifac.i[k]] + dx_i[12:15], calib, g_w)
-
-        zero_dx = jnp.zeros(D, dtype)
-
-        def edge_blocks(k):
-            r0 = edge_res(k, zero_dx, zero_dx)
-            Ji = jax.jacfwd(lambda d: edge_res(k, d, zero_dx))(zero_dx)
-            Jj = jax.jacfwd(lambda d: edge_res(k, zero_dx, d))(zero_dx)
-            return r0, Ji, Jj
-
-        r_in, Ji, Jj = jax.vmap(edge_blocks)(jnp.arange(P))
-        w_in = jnp.where(ifac.valid, 1.0, 0.0).astype(dtype)
-        info = ifac.info * w_in[:, None, None]
-        Hii = jnp.einsum("pri,prs,psj->pij", Ji, info, Ji)
-        Hjj = jnp.einsum("pri,prs,psj->pij", Jj, info, Jj)
-        Hij = jnp.einsum("pri,prs,psj->pij", Ji, info, Jj)
-        gi = jnp.einsum("pri,prs,ps->pi", Ji, info, r_in)
-        gj = jnp.einsum("pri,prs,ps->pi", Jj, info, r_in)
-        H = H.at[ifac.i, :, ifac.i, :].add(Hii)
-        H = H.at[ifac.j, :, ifac.j, :].add(Hjj)
-        H = H.at[ifac.i, :, ifac.j, :].add(Hij)
-        H = H.at[ifac.j, :, ifac.i, :].add(jnp.swapaxes(Hij, -1, -2))
-        g = g.at[ifac.i].add(gi)
-        g = g.at[ifac.j].add(gj)
-
-        # ---- bias random-walk edges ------------------------------------
-        rw = jnp.concatenate([
-            jnp.full(3, bias_rw_info_g, dtype),
-            jnp.full(3, bias_rw_info_a, dtype)])
-        db = jnp.concatenate(
-            [state.bg[ifac.j] - state.bg[ifac.i],
-             state.ba[ifac.j] - state.ba[ifac.i]], axis=-1)  # (P,6)
-        gb = rw[None, :] * db * w_in[:, None]
-        Hb = jnp.diag(rw)
-        idx_b = jnp.arange(9, 15)
-        H = H.at[ifac.i[:, None, None], idx_b[:, None],
-                 ifac.i[:, None, None], idx_b[None, :]].add(
-            Hb[None] * w_in[:, None, None])
-        H = H.at[ifac.j[:, None, None], idx_b[:, None],
-                 ifac.j[:, None, None], idx_b[None, :]].add(
-            Hb[None] * w_in[:, None, None])
-        H = H.at[ifac.i[:, None, None], idx_b[:, None],
-                 ifac.j[:, None, None], idx_b[None, :]].add(
-            -Hb[None] * w_in[:, None, None])
-        H = H.at[ifac.j[:, None, None], idx_b[:, None],
-                 ifac.i[:, None, None], idx_b[None, :]].add(
-            -Hb[None] * w_in[:, None, None])
-        g = g.at[ifac.i, 9:].add(-gb)
-        g = g.at[ifac.j, 9:].add(gb)
-
-        # ---- bias prior on the first keyframe --------------------------
-        prior = jnp.concatenate([
-            jnp.full(3, bias_prior_info_g, dtype),
-            jnp.full(3, bias_prior_info_a, dtype)])
-        H = H.at[0, idx_b, 0, idx_b].add(prior)
-        g = g.at[0, 9:].add(prior * jnp.concatenate(
-            [state.bg[0], state.ba[0]]))
+        # ---- inertial + bias-walk + prior contributions (O(K)) ---------
+        H_in, g_in = inertial_system(
+            state, ifac, calib, g_w, bias_rw_info_g, bias_rw_info_a,
+            bias_prior_info_g, bias_prior_info_a)
+        H = H + H_in
+        g = g + g_in
 
         # ---- fixed dims (per-dimension masking), damping, solve --------
         fin = (jnp.zeros(K, bool) if fixed_inertial is None
