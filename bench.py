@@ -261,8 +261,94 @@ def main():
           f"p99 {p99*1e3:.2f} ms (p99/median {p99/max(med,1e-9):.2f}; "
           f"includes tunnel dispatch+fetch)", file=sys.stderr)
 
+    # ---- kernel cost statement: the three dominant device programs -----
+    # Per-dispatch wall time + XLA's own cost-analysis FLOP/byte counts ->
+    # rough utilization. The denominator is the chip's peak (v5e: ~197
+    # TFLOP/s bf16 / ~98 fp32, ~819 GB/s HBM) — these programs are fp32
+    # and matching/gather-heavy, so the honest statement for most of them
+    # is HBM-bound utilization, not MXU MFU.
+    kernels = {}
+    try:
+        PEAK_FLOPS = 98e12 if jax.default_backend() != "cpu" else 1e11
+        PEAK_BYTES = 819e9 if jax.default_backend() != "cpu" else 5e10
+
+        feats0 = extract_features(img, params)
+        upd0 = None
+
+        def time_call(fn, *a, reps=5, **kw):
+            out = fn(*a, **kw)          # compile
+            jax.block_until_ready(out)
+            best = 1e9
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn(*a, **kw)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            return best, out
+
+        def cost_of(fn, *a, **kw):
+            try:
+                an = jax.jit(fn).lower(*a, **kw).compile().cost_analysis()
+                if isinstance(an, (list, tuple)):
+                    an = an[0]
+                return float(an.get("flops", 0.0)), \
+                    float(an.get("bytes accessed", 0.0))
+            except Exception:
+                return 0.0, 0.0
+
+        def track_fn(m, R, t, feats):
+            # +0: the fused step donates the counter buffers
+            return fused_frame_update(
+                m.mp_pos, m.mp_desc, m.mp_valid,
+                m.mp_visible + 0, m.mp_found + 0,
+                lie.SE3(R, t), lie.SE3(R, t),
+                feats.uv, feats.desc, feats.valid, feats.octave,
+                inv_s2, cam, mp_normal=m.mp_normal,
+                mp_min_dist=m.mp_min_dist, mp_max_dist=m.mp_max_dist,
+                img_h=H, img_w=W, use_pallas=use_pallas)
+
+        def map_fn(m, R, t, feats, obs):
+            prev_ids = jnp.stack([m.n_kf - 1, m.n_kf - 2, m.n_kf - 3])
+            return mapping_step(
+                m, lie.SE3(R, t), 0.0, feats.uv, feats.desc, feats.octave,
+                feats.valid, obs, prev_ids.astype(jnp.int32), cam,
+                img_h=H, img_w=W).map
+
+        def ba_fn(m):
+            window = m.n_kf - BA_W + jnp.arange(BA_W, dtype=jnp.int32)
+            fixed = (jnp.arange(BA_W) < 2) | (window < 0)
+            return local_ba_step(m, jnp.where(window >= 0, window, -1),
+                                 fixed, inv_s2, cam,
+                                 iters_first=5, iters_second=10)[0]
+
+        t_ext, _ = time_call(lambda: extract_features(img, params))
+        t_trk, upd0 = time_call(track_fn, m0, ident.R, ident.t, feats0)
+        t_map, _ = time_call(map_fn, m0, ident.R, ident.t, feats0,
+                             upd0.obs)
+        t_ba, _ = time_call(ba_fn, m0)
+        for name, tt, (fl, by) in (
+                ("orb_extract", t_ext, cost_of(
+                    lambda im: extract_features(im, params), img)),
+                ("frame_update", t_trk, cost_of(
+                    track_fn, m0, ident.R, ident.t, feats0)),
+                ("mapping_step", t_map, cost_of(
+                    map_fn, m0, ident.R, ident.t, feats0, upd0.obs)),
+                ("local_ba_15it", t_ba, cost_of(ba_fn, m0))):
+            kernels[name] = {
+                "ms": round(tt * 1e3, 2),
+                "gflops": round(fl / 1e9, 2),
+                "flops_util_pct": round(100 * fl / tt / PEAK_FLOPS, 2),
+                "hbm_util_pct": round(100 * by / tt / PEAK_BYTES, 1),
+            }
+        print("kernel costs (per dispatch, XLA cost analysis): "
+              + json.dumps(kernels), file=sys.stderr)
+    except Exception as e:  # cost statement must never kill the bench
+        print(f"kernel cost section failed: {e}", file=sys.stderr)
+
     note = ("keyframe-inclusive: extraction+tracking every frame, "
-            "mapping+local-BA every 8th; vs_baseline is against the "
+            "mapping+local-BA every 8th (measured production cadence: "
+            "7.7 frames/KF on MH01 stereo-imu at camera rate — see "
+            "EVAL.md per-sequence kf rates); vs_baseline is against the "
             "reference's 20 fps real-time pacing target")
     if probe_err:
         note = (f"TPU TUNNEL UNREACHABLE ({probe_err}); CPU-fallback "
@@ -273,6 +359,9 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / 20.0, 3),
         "backend": jax.default_backend(),
+        "latency_ms": {"median": round(med * 1e3, 2),
+                       "p99": round(p99 * 1e3, 2)},
+        "kernels": kernels,
         "note": note,
     }))
 

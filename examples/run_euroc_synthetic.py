@@ -212,6 +212,58 @@ def run_sequence(seq: str, n_frames: int, stride: int = 10) -> float:
             "loop_gates": dict(lc.stats) if lc else {}}
 
 
+def run_sequence_image(seq: str, n_frames: int, stride: int = 10) -> dict:
+    """Pixels-in evaluation: rendered IMAGES through the real ORB
+    front-end (extract_features) into the tracker — the reference's
+    actual input modality (tracking.cc:948-1092). Uses a half-resolution
+    camera to keep CPU extraction tractable; on TPU the full-res pipeline
+    is the bench path."""
+    positions, t, quats = load_euroc_gt(seq, stride=stride,
+                                        max_frames=n_frames,
+                                        with_quats=True)
+    world = sim.world_from_trajectory(positions,
+                                      n_points=density_points(positions),
+                                      seed=1, timestamps=t,
+                                      quats_wxyz=quats)
+    h, w = 240, 376
+    cam = (200.0, 200.0, 188.0, 120.0)
+    cfg = SlamConfig(
+        cam_params=cam, image_size=(h, w),
+        orb=OrbParams(n_features=512),
+        max_keyframes=256, max_map_points=16384, ba_window=6,
+        loop_closing=False,
+    )
+    tracker = MonoTracker(cfg)
+    t0 = time.time()
+    states = []
+    for k in range(len(t)):
+        img = sim.render_image(world, k, jnp.asarray(cam, jnp.float32),
+                               (h, w))
+        states.append(tracker.process_image(
+            jnp.asarray(img), float(t[k])).state)
+        if k > 0 and k % 100 == 0:
+            print(f"  [{seq} {k}/{len(t)}] {k/(time.time()-t0):.1f} fps",
+                  flush=True)
+    wall = time.time() - t0
+    traj = tracker.trajectory_tum()
+    gt = sim.gt_positions(world)
+    try:
+        start = states.index("init-done")
+    except ValueError:
+        print(f"{seq} [image]: never initialized")
+        return {"seq": seq, "mode": "image", "frames": len(t),
+                "tracked": 0, "ate_m": float("nan")}
+    ate = ate_rmse(traj[start:, 1:4], gt[start:len(traj)], with_scale=True)
+    ok = sum(1 for s in states if s in ("ok", "init-done"))
+    span = np.linalg.norm(positions.max(0) - positions.min(0))
+    print(f"{seq} [image]: tracked {ok}/{len(t)}, ATE {ate*100:.2f} cm "
+          f"over {span:.1f} m span, {len(t)/wall:.1f} fps host-loop, "
+          f"kf={int(tracker.map.n_kf)}", flush=True)
+    return {"seq": seq, "mode": "image", "frames": len(t), "tracked": ok,
+            "ate_m": float(ate), "span_m": float(span),
+            "kf": int(tracker.map.n_kf)}
+
+
 if __name__ == "__main__":
     import json
 
@@ -223,7 +275,7 @@ if __name__ == "__main__":
     ap.add_argument("--stride", type=int, default=10,
                     help="GT subsampling for mono mode (GT is ~20 Hz; "
                          "stride=1 keeps camera rate for full-length runs)")
-    ap.add_argument("--mode", choices=["mono", "stereo-imu"],
+    ap.add_argument("--mode", choices=["mono", "stereo-imu", "image"],
                     default="mono")
     ap.add_argument("--out", default="",
                     help="append one JSON line per sequence to this file")
@@ -231,6 +283,8 @@ if __name__ == "__main__":
     for s in args.sequences:
         if args.mode == "stereo-imu":
             r = run_sequence_stereo_imu(s, args.frames)
+        elif args.mode == "image":
+            r = run_sequence_image(s, args.frames, stride=args.stride)
         else:
             r = run_sequence(s, args.frames, stride=args.stride)
         if args.out and isinstance(r, dict):

@@ -45,7 +45,14 @@ def _detect_candidates(m: ms.MapState, bow, present, vocab, kf_id,
     kf_c = jnp.clip(kf_id, 0, m.max_kf - 1)
     W = ms.covisibility_matrix(m)
     kfa = jnp.arange(m.max_kf)
-    exclude = (W[kf_c] > 0) | ((kfa >= guard_lo) & (kfa <= kf_id))
+    # exclusion = CONNECTED keyframes (reference: covisibility edges exist
+    # at weight >= 15 shared points, keyframe.cc:483 UpdateConnections;
+    # DetectNBestCandidates excludes only those). A round-3 W > 0
+    # exclusion barred any keyframe sharing even ONE point — in a
+    # room-scale stereo-inertial run (V102) where long tracks touch most
+    # of the map, that structurally disabled detection: 0 candidates in
+    # 243 queries at the round-3 verdict.
+    exclude = (W[kf_c] >= 15) | ((kfa >= guard_lo) & (kfa <= kf_id))
     q = compute_bow_vector(vocab, m.kf_desc[kf_c], m.kf_feat_valid[kf_c],
                            levels)
     ids, scores = _query(bow, present, q, exclude, top_k)

@@ -40,6 +40,11 @@ class OrbParams(NamedTuple):
     cell_size: int = 32          # selection cell in pixels
     per_cell_k: int = 4          # candidates kept per cell
     edge_margin: int = 19        # reference EDGE_THRESHOLD (descriptor border)
+    # quadratic subpixel refinement of corner positions on the FAST score
+    # map (the reference keeps integer keypoints, orb_extractor.cc — the
+    # +-0.5 px quantization at level l is +-0.5*1.2^l px in level-0
+    # coordinates, a dominant error source for the pixels-in path)
+    subpixel: bool = False
 
 
 class Features(NamedTuple):
@@ -239,6 +244,54 @@ def brief_descriptors(patches: jnp.ndarray, angles: jnp.ndarray
 # ---------------------------------------------------------------------------
 
 
+def _harris_response(img: jnp.ndarray, k: float = 0.04) -> jnp.ndarray:
+    """Dense Harris corner response det(M) - k tr(M)^2 with 3x3 Sobel
+    gradients and 3x3 structure-tensor smoothing. The FAST score map is
+    nonzero only at isolated pixels (the segment test fails on the
+    neighbours of 95% of corners — measured), so subpixel interpolation
+    must run on a response that is SMOOTH around the corner."""
+    def shift(a, dy, dx):
+        return jnp.roll(a, (dy, dx), axis=(0, 1))
+
+    gx = (shift(img, 0, -1) - shift(img, 0, 1)) * 2.0 \
+        + (shift(img, -1, -1) - shift(img, -1, 1)) \
+        + (shift(img, 1, -1) - shift(img, 1, 1))
+    gy = (shift(img, -1, 0) - shift(img, 1, 0)) * 2.0 \
+        + (shift(img, -1, -1) - shift(img, 1, -1)) \
+        + (shift(img, -1, 1) - shift(img, 1, 1))
+
+    def box3(a):
+        a = shift(a, -1, 0) + a + shift(a, 1, 0)
+        return shift(a, 0, -1) + a + shift(a, 0, 1)
+
+    sxx = box3(gx * gx)
+    syy = box3(gy * gy)
+    sxy = box3(gx * gy)
+    return (sxx * syy - sxy * sxy) - k * (sxx + syy) ** 2
+
+
+def _subpixel_offset(score: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2) (dx, dy) in [-0.5, 0.5]: per-axis parabola fit through a
+    dense corner response at the corner and its 4-neighbours (standard
+    quadratic peak interpolation). Keypoints are selected >= margin from
+    the border, so the +-1 neighbourhood is always in bounds."""
+    h, w = score.shape
+    y = jnp.clip(yx[:, 0], 1, h - 2)
+    x = jnp.clip(yx[:, 1], 1, w - 2)
+    s0 = score[y, x]
+
+    def axis_off(sm, sp):
+        denom = sm - 2.0 * s0 + sp
+        off = jnp.where(jnp.abs(denom) > 1e-6,
+                        0.5 * (sm - sp) / denom, 0.0)
+        # a non-peak center (denom >= 0) has no interpolable maximum
+        return jnp.where(denom < 0, jnp.clip(off, -0.5, 0.5), 0.0)
+
+    dx = axis_off(score[y, x - 1], score[y, x + 1])
+    dy = axis_off(score[y - 1, x], score[y + 1, x])
+    return jnp.stack([dx, dy], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def extract_features(img: jnp.ndarray, params: OrbParams = OrbParams()
                      ) -> Features:
@@ -270,8 +323,11 @@ def extract_features(img: jnp.ndarray, params: OrbParams = OrbParams()
         ang = ic_angle(patches)
         desc = brief_descriptors(patches, ang)
 
-        uv = jnp.stack([yx[:, 1].astype(jnp.float32) * scale,
-                        yx[:, 0].astype(jnp.float32) * scale], axis=-1)
+        xy = jnp.stack([yx[:, 1].astype(jnp.float32),
+                        yx[:, 0].astype(jnp.float32)], axis=-1)
+        if params.subpixel:
+            xy = xy + _subpixel_offset(_harris_response(lvl_img), yx)
+        uv = xy * scale
         all_uv.append(uv)
         all_resp.append(resp)
         all_oct.append(jnp.full((budget,), l, dtype=jnp.int32))

@@ -587,3 +587,146 @@ def vio_from_gt_trajectory(
     return VioSequence(world=world, frame_imu=frame_imu,
                        vel=np.stack(vels_frame),
                        gravity=g_w, gyro_bias_true=bg, acc_bias_true=ba_)
+
+
+# ---------------------------------------------------------------------------
+# Image rendering (pixels-to-pose path)
+# ---------------------------------------------------------------------------
+
+
+def _landmark_textures(n_points: int, seed: int = 4242,
+                       cells: int = 6) -> np.ndarray:
+    """Persistent per-landmark texture patches: (P, cells, cells) in [0,1].
+
+    Three properties matter for the pixels-in protocol:
+    * blocky high-contrast cells -> strong FAST corners on every landmark;
+    * a persistent per-landmark AMPLITUDE -> the per-cell top-K selection
+      ranks the same landmarks above their neighbours every frame (equal-
+      contrast textures made the response ranking pure noise: measured 47
+      common landmarks between consecutive frames' 500-feature sets);
+    * a dominant directional ramp -> the IC-angle intensity centroid
+      points the same way every frame, so the rotated BRIEF pattern
+      samples the same pixels (near-symmetric blobs gave orientation
+      noise and a 95-bit median Hamming distance between re-detections).
+    """
+    rng = np.random.RandomState(seed)
+    tex = (rng.rand(n_points, cells, cells) > 0.5).astype(np.float32)
+    # dominant orientation: linear ramp in a persistent random direction
+    ang = rng.rand(n_points, 1, 1) * 2 * np.pi
+    yy, xx = np.mgrid[0:cells, 0:cells].astype(np.float32)
+    yy = (yy / (cells - 1) - 0.5)[None]
+    xx = (xx / (cells - 1) - 0.5)[None]
+    ramp = xx * np.cos(ang) + yy * np.sin(ang) + 0.5
+    tex = 0.45 * tex + 0.55 * np.clip(ramp, 0, 1)
+    # persistent amplitude in [0.45, 1]: stable selection ranking
+    amp = 0.45 + 0.55 * rng.rand(n_points, 1, 1)
+    return (tex * amp).astype(np.float32)
+
+
+def render_image(
+    world: SyntheticWorld,
+    frame: int,
+    cam_params: jnp.ndarray,
+    image_size: Tuple[int, int],
+    seed: int = 0,
+    cam_model: str = cameras.PINHOLE,
+    pose_override: Optional[lie.SE3] = None,
+    bg_noise: float = 3.0,
+    base_px: float = 18.0,
+    max_points: int = 1500,
+    center_marker: bool = False,
+    _tex_cache: dict = {},
+) -> np.ndarray:
+    """Render a (H, W) float32 grayscale image of the world from frame's
+    GT pose: every visible landmark is splatted as its persistent random
+    texture patch, sized by the distance ratio against the landmark's
+    canonical range (so apparent scale tracks 1/depth and the pyramid's
+    octave prediction is exercised for real).
+
+    This is the pixels-in protocol: the ORB front-end
+    (frontend.extractor.extract_features — the reference consumes images,
+    tracking.cc:948-1092) runs on these images and the SLAM engine never
+    sees ground-truth feature observations. Feature repeatability, octave
+    distribution and subpixel noise are whatever the real extractor
+    produces.
+    """
+    rng = np.random.RandomState(seed * 70001 + frame)
+    h, w = image_size
+    pose = pose_override if pose_override is not None else \
+        lie.SE3(world.poses.R[frame], world.poses.t[frame])
+    pc = np.asarray(lie.se3_apply(pose, jnp.asarray(world.points)))
+    uv = np.asarray(cameras.project(cam_model, cam_params, jnp.asarray(pc)))
+    vis = (pc[:, 2] > 0.3) & (pc[:, 2] < 40.0) \
+        & (uv[:, 0] >= 4) & (uv[:, 0] < w - 4) \
+        & (uv[:, 1] >= 4) & (uv[:, 1] < h - 4)
+    idx = np.nonzero(vis)[0]
+    if len(idx) > max_points:
+        # persistent saliency order (same rule as render_frame): the
+        # strongest corners fire every frame
+        saliency = np.random.RandomState(9177).rand(len(world.points))
+        idx = idx[np.argsort(-saliency[idx])][:max_points]
+
+    key = len(world.points)
+    if key not in _tex_cache:
+        _tex_cache[key] = _landmark_textures(len(world.points))
+    tex = _tex_cache[key]
+
+    img = rng.randn(h, w).astype(np.float32) * bg_noise + 64.0
+    ref = (world.ref_dist if world.ref_dist is not None
+           else np.full(len(world.points), 6.0, np.float32))
+    dist = np.linalg.norm(pc[idx], axis=1)
+    sizes = np.clip(base_px * ref[idx] / np.maximum(dist, 1e-6),
+                    6, 64).astype(np.int32)
+    # draw far (small) landmarks first so near ones overwrite them
+    order = np.argsort(-dist)
+    for i in order:
+        p = idx[i]
+        s = int(sizes[i])
+        cu, cv = uv[p]
+        u0 = int(round(cu)) - s // 2
+        v0 = int(round(cv)) - s // 2
+        u1, v1 = u0 + s, v0 + s
+        cu0, cv0 = max(u0, 0), max(v0, 0)
+        cu1, cv1 = min(u1, w), min(v1, h)
+        if cu1 <= cu0 or cv1 <= cv0:
+            continue
+        # bilinear sample of the landmark's texture: appearance is
+        # CONTINUOUS in scale, so a depth change re-renders the same
+        # pattern larger/smaller (a nearest-neighbour upsample reshuffles
+        # the BRIEF sampling points every time the patch size crosses a
+        # cell boundary — measured 56 vs 300+ frame-to-frame matches)
+        C = tex.shape[1]
+        fy = (np.arange(cv0, cv1) - v0 + 0.5) / s * (C - 1)
+        fx = (np.arange(cu0, cu1) - u0 + 0.5) / s * (C - 1)
+        y0 = np.clip(fy.astype(np.int32), 0, C - 2)
+        x0 = np.clip(fx.astype(np.int32), 0, C - 2)
+        wy = (fy - y0)[:, None]
+        wx = (fx - x0)[None, :]
+        tp = tex[p]
+        patch = (tp[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+                 + tp[np.ix_(y0 + 1, x0)] * wy * (1 - wx)
+                 + tp[np.ix_(y0, x0 + 1)] * (1 - wy) * wx
+                 + tp[np.ix_(y0 + 1, x0 + 1)] * wy * wx)
+        img[cv0:cv1, cu0:cu1] = 64.0 + patch * 130.0
+        # crisp checkerboard junction at the landmark's EXACT projected
+        # position: the dominant, precisely-localizable corner every
+        # frame (texture-cell intersections alone fire FAST at arbitrary
+        # in-patch positions that shift with viewpoint)
+        if not center_marker:
+            continue
+        # small, per-landmark-polarized: a large identical checker made
+        # every landmark's descriptor alike (aliasing -> association
+        # collapse at frame ~35); at 2-4 px the descriptor still samples
+        # mostly the random texture around it
+        cs = max(2, s // 10)
+        hi, lo = (224.0, 32.0) if (p & 1) == 0 else (32.0, 224.0)
+        ju0, jv0 = int(round(cu)) - cs, int(round(cv)) - cs
+        for (qy, qx, val) in ((0, 0, hi), (0, 1, lo),
+                              (1, 0, lo), (1, 1, hi)):
+            a0 = max(jv0 + qy * cs, 0)
+            a1 = min(jv0 + (qy + 1) * cs, h)
+            b0 = max(ju0 + qx * cs, 0)
+            b1 = min(ju0 + (qx + 1) * cs, w)
+            if a1 > a0 and b1 > b0:
+                img[a0:a1, b0:b1] = val
+    return np.clip(img, 0.0, 255.0)

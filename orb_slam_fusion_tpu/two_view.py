@@ -125,7 +125,14 @@ def _check_rt(R: jnp.ndarray, t: jnp.ndarray, r1: jnp.ndarray,
                   - r2[..., :2]) ** 2, axis=-1)
     th = (4.0 / 460.0) ** 2  # ~4px at EuRoC-ish focal length
     good = good & (e1 < th) & (e2 < th)
-    return jnp.sum(good.astype(jnp.int32)), X, good
+    n_good = jnp.sum(good.astype(jnp.int32))
+    # representative parallax (reference CheckRT: sort the good points'
+    # parallax cosines ascending and take the 50th — a robust "the map
+    # has REAL parallax" statistic, not the single best point)
+    cos_sorted = jnp.sort(jnp.where(good, cosp, 1.0))
+    rep_idx = jnp.clip(jnp.minimum(50, n_good - 1), 0, cosp.shape[0] - 1)
+    rep_cos = cos_sorted[rep_idx]
+    return n_good, X, good, rep_cos
 
 
 # ---------------------------------------------------------------------------
@@ -258,11 +265,12 @@ def two_view_init(
 
     # ---------------- motion recovery from E ------------------------------
     Rs, ts = _decompose_essential(E_best)
-    scores, Xs, goods = jax.vmap(
+    scores, Xs, goods, rcos = jax.vmap(
         lambda R, t: _check_rt(R, t, rays1, rays2, inliersE))(Rs, ts)
     k_best = jnp.argmax(scores)
     R_e, t_e = Rs[k_best], ts[k_best]
     X_e, good_e, n_e = Xs[k_best], goods[k_best], scores[k_best]
+    rcos_e = rcos[k_best]
     # winner must clearly beat runner-up (reference: unique solution check)
     sorted_scores = jnp.sort(scores)
     distinct = sorted_scores[-1] > jnp.maximum(
@@ -275,7 +283,7 @@ def two_view_init(
                                    inliersH, 1, 32)[0]
     H_refit = _four_point_h(rays1[idx_h32][None, :], rays2[idx_h32][None, :])[0]
     Rs_h, ts_h = _decompose_homography(H_refit)
-    scores_h, Xs_h, goods_h = jax.vmap(
+    scores_h, Xs_h, goods_h, rcos_h = jax.vmap(
         lambda R, t: _check_rt(R, t, rays1, rays2, inliersH))(Rs_h, ts_h)
     kh = jnp.argmax(scores_h)
 
@@ -284,12 +292,19 @@ def two_view_init(
     X = jnp.where(use_h, Xs_h[kh], X_e)
     good = jnp.where(use_h, goods_h[kh], good_e)
     n_good = jnp.where(use_h, scores_h[kh], n_e)
+    rep_cos = jnp.where(use_h, rcos_h[kh], rcos_e)
 
     tnorm = jnp.linalg.norm(t21)
     t21 = t21 / jnp.maximum(tnorm, 1e-12)
     X = X / jnp.maximum(tnorm, 1e-12)
 
-    ok = (n_good >= min_inliers) & (distinct | use_h) & (tnorm > 1e-6)
+    # minimum representative parallax (reference Reconstruct: minParallax
+    # = 1 deg for both ReconstructF and ReconstructH) — accepting a
+    # near-zero-baseline init produces a map whose depths are noise; the
+    # session then tracks it for a while and collapses
+    enough_parallax = rep_cos < 0.99984769515  # cos(1 deg)
+    ok = (n_good >= min_inliers) & (distinct | use_h) & (tnorm > 1e-6) \
+        & enough_parallax
     return TwoViewResult(ok=ok, R21=R21, t21=t21, points1=X,
                          inliers=good, n_inliers=n_good,
                          used_homography=use_h)
