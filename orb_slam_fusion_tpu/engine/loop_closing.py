@@ -401,6 +401,11 @@ class LoopCloser:
             # close the best hypothesis came (drives threshold tuning)
             self.stats["ransac_pairs_last"] = int(jnp.sum(pair_ok))
             self.stats["ransac_best_last"] = int(res.n_inliers)
+            # pairs whose two sides are the SAME map row contribute only
+            # the identity-drift transform; a funnel dominated by them
+            # means the "loop" candidate shares its points with the query
+            self.stats["same_row_last"] = int(
+                jnp.sum(pair_ok & (mp_cand == mp_cur)))
             return False
 
         n_pairs = x1.shape[0]

@@ -1001,22 +1001,36 @@ class MonoTracker:
         if n_kf < 6:
             return
         memb = np.array(ms.observation_mask(m))     # (K, M), mutable copy
-        obs_count = memb.sum(axis=0)                # (M,)
+        # Per-observation octave matrix (K, M): the reference only counts
+        # an observer toward redundancy when it sees the point at the SAME
+        # OR FINER scale (scaleLevel <= scaleLevel_i + 1,
+        # localmapping.cc:791-930). Scale-blind counting treats a far
+        # coarse-octave glimpse as a replacement for a close observation
+        # and over-culls — measured as the camera-rate V101 keyframe
+        # collapse (152 vs round-2's 357 keyframes) once the octave-aware
+        # sim landed.
+        K, F = m.kf_obs_mp.shape
+        obs = np.array(m.kf_obs_mp)
+        octv = np.array(m.kf_octave)
+        oct_of = np.full((K, memb.shape[1]), 99, np.int16)
+        kk, ff = np.nonzero(obs >= 0)
+        oct_of[kk, obs[kk, ff]] = octv[kk, ff]
+        oct_of[~memb] = 99
         # Sequential culling with LIVE observation counts: the reference
         # culls one keyframe at a time and SetBadFlag erases its
         # observations before the next candidate is examined
         # (localmapping.cc:791-930, keyframe.cc SetBadFlag). A batch pass
         # against a stale redundancy vector lets a whole run of mutually
-        # redundant neighbours die together, leaving coverage holes —
-        # measured as the round-3 camera-rate KF collapse (357 -> 149 KFs
-        # on V101) and its 3.5x ATE regression.
+        # redundant neighbours die together, leaving coverage holes.
         for k in range(max(1, n_kf - 10), n_kf - 2):
             if not (bool(m.kf_valid[k]) and self._can_cull(k)):
                 continue
             mk = memb[k]
             n_pts = max(int(mk.sum()), 1)
-            # points seen by >= 4 live KFs (self + 3 others)
-            n_red = int((mk & (obs_count >= 4)).sum())
+            # observers at same-or-finer scale (incl. self), point-wise
+            finer = ((oct_of <= oct_of[k][None, :] + 1) & memb).sum(axis=0)
+            # redundant: >= 3 OTHER same-or-finer-scale observers
+            n_red = int((mk & (finer >= 4)).sum())
             if n_red / n_pts > 0.9:
                 self.map = self.map._replace(
                     kf_valid=self.map.kf_valid.at[k].set(False),
@@ -1024,8 +1038,8 @@ class MonoTracker:
                 )
                 if self.loop_closer is not None:
                     self.loop_closer.db.remove(k)
-                obs_count -= mk
                 memb[k] = False
+                oct_of[k] = 99
                 m = self.map
 
     def _reset_prior(self) -> None:
@@ -1051,25 +1065,57 @@ class MonoTracker:
     def _ba_window_arrays(self, min_fixed: int):
         """Host-side window + fixed-mask construction for local BA.
 
-        Newest `ba_window` keyframes optimized, plus `ba_fixed_ring` older
-        keyframes held fixed WITH their factors included — without those
-        anchor factors, shared landmarks drift away from the out-of-window
-        keyframes and the monocular scale diverges (reference: the
-        lFixedCameras set in Optimizer::LocalBundleAdjustment,
-        optimizer.cc:1096)."""
+        The optimized set is the newest keyframe + its best COVISIBLE
+        keyframes (reference Optimizer::LocalBundleAdjustment builds
+        lLocalKeyFrames from GetVectorCovisibleKeyFrames, optimizer.cc:
+        1053-1090) — NOT a purely temporal window: when the camera
+        revisits structure, re-optimizing against the covisible older
+        keyframes re-anchors the monocular scale to the old map instead
+        of letting it drift per segment. The `ba_fixed_ring` next-best
+        covisible/temporal keyframes are held fixed WITH their factors
+        included (the lFixedCameras 1-ring, optimizer.cc:1096) — without
+        those anchors, shared landmarks drift away from the
+        out-of-window keyframes and the gauge slides."""
         cfg = self.cfg
         n_kf = int(self.map.n_kf)
         W = cfg.ba_window + cfg.ba_fixed_ring
-        start = max(0, n_kf - W)
+        cur = self.last_kf_id if 0 <= self.last_kf_id < n_kf else n_kf - 1
+        # newest + temporal predecessors first (always in), then best
+        # covisibles of the newest keyframe
+        chosen = [k for k in (cur, cur - 1, cur - 2) if k >= 0]
+        if n_kf > len(chosen):
+            Wc = np.asarray(ms.covisibility_matrix(self.map))[cur, :n_kf]
+            live = np.asarray(self.map.kf_valid[:n_kf])
+            Wc = np.where(live, Wc, -1)
+            order = np.argsort(-Wc)
+            extra = [int(k) for k in order
+                     if Wc[k] > 0 and k not in chosen]
+        else:
+            extra = []
+        opt_ids = (chosen + extra)[: cfg.ba_window]
+        # fixed ring: the next covisibles, else temporal predecessors
+        ring = [k for k in extra if k not in opt_ids]
+        t = min(opt_ids) - 1 if opt_ids else -1
+        while len(ring) < cfg.ba_fixed_ring and t >= 0:
+            if t not in opt_ids and t not in ring:
+                ring.append(t)
+            t -= 1
+        ring = ring[: cfg.ba_fixed_ring]
+        # gauge: ensure at least min_fixed fixed anchors
+        n_in = len(opt_ids) + len(ring)
+        need = max(0, min(min_fixed, n_in - 1) - len(ring))
+        # oldest optimized keyframes become anchors when the ring is short
+        opt_sorted = sorted(opt_ids)
+        forced_fixed = set(opt_sorted[:need])
+        ids = sorted(set(opt_ids) | set(ring))
         window = np.full(W, -1, np.int32)
-        ids = np.arange(start, n_kf, dtype=np.int32)
-        window[: len(ids)] = ids
-        n_in = len(ids)
-        n_fixed = max(n_in - cfg.ba_window, min(min_fixed, n_in - 1))
         fixed = np.zeros(W, bool)
-        fixed[:n_fixed] = True
+        window[: len(ids)] = ids
+        for i, k in enumerate(ids):
+            fixed[i] = (k in ring) or (k in forced_fixed)
         fixed |= window < 0
-        return window, fixed, n_in, n_fixed
+        n_fixed = int(fixed[: len(ids)].sum())
+        return window, fixed, len(ids), n_fixed
 
     # -- background local BA protocol ---------------------------------------
 
