@@ -108,6 +108,10 @@ def run_sequence_stereo_imu(seq: str, n_frames: int) -> float:
         loop_closing=True,
     )
     tracker = StereoVioTracker(cfg, baseline, make_calib())
+    if os.environ.get("OSF_NO_LOOP_CORRECT") == "1" and tracker.loop_closer:
+        # A/B instrument: detection/verification run, corrections don't
+        # (quantifies whether closures repair or inject error)
+        tracker.loop_closer.consistency_th = 10 ** 9
     cam = jnp.asarray(cfg.cam_params)
     t0 = time.time()
     states = []
@@ -171,7 +175,7 @@ def run_sequence(seq: str, n_frames: int, stride: int = 10) -> float:
         orb=OrbParams(n_features=640),
         max_keyframes=256,
         max_map_points=16384,
-        ba_window=6,
+        ba_window=int(os.environ.get("OSF_BA_WINDOW", "12")),
         loop_closing=True,
     )
     tracker = MonoTracker(cfg)
@@ -196,6 +200,9 @@ def run_sequence(seq: str, n_frames: int, stride: int = 10) -> float:
         print(f"{seq}: never initialized")
         return float("nan")
     ate = ate_rmse(traj[start:, 1:4], gt[start:len(traj)], with_scale=True)
+    if os.environ.get("OSF_DUMP_TRAJ"):
+        np.savez(os.environ["OSF_DUMP_TRAJ"], traj=traj, gt=gt,
+                 states=np.asarray(states), start=start)
     ok = sum(1 for s in states if s in ("ok", "init-done"))
     span = np.linalg.norm(positions.max(0) - positions.min(0))
     lc = tracker.loop_closer

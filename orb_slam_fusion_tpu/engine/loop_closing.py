@@ -51,7 +51,11 @@ def _detect_candidates(m: ms.MapState, bow, present, vocab, kf_id,
     # exclusion barred any keyframe sharing even ONE point — in a
     # room-scale stereo-inertial run (V102) where long tracks touch most
     # of the map, that structurally disabled detection: 0 candidates in
-    # 243 queries at the round-3 verdict.
+    # 243 queries at the round-3 verdict. (A 15 s time guard was tried
+    # here to force detection onto genuine revisits — it made V101
+    # camera-rate WORSE, 87 -> 184 cm: the short-range closures carry
+    # little drift information themselves, but each one triggers a global
+    # BA that keeps the whole visual map polished.)
     exclude = (W[kf_c] >= 15) | ((kfa >= guard_lo) & (kfa <= kf_id))
     q = compute_bow_vector(vocab, m.kf_desc[kf_c], m.kf_feat_valid[kf_c],
                            levels)
@@ -658,11 +662,16 @@ class LoopCloser:
         self._fuse_duplicates(tracker, cur, cand)
 
         # ---- global BA (reference: RunGlobalBundleAdjustment thread,
-        # loopclosing.cc:2117; skipped for large maps like the reference
-        # skips maps >200 KFs, loopclosing.cc:1097). A closure while a GBA
-        # is in flight replaces the snapshot (reference aborts the running
+        # loopclosing.cc:2117). The reference's size gate applies ONLY to
+        # IMU-initialized maps: `!isImuInitialized() || (KFs < 200 &&
+        # single map)` (loopclosing.cc:1096-1098) — a VISUAL map gets a
+        # GBA after every closure at any size. The chunked LM switches to
+        # the matrix-free PCG reduced solve past 64 keyframes, so large
+        # visual GBAs are affordable here too. A closure while a GBA is
+        # in flight replaces the snapshot (reference aborts the running
         # GBA before correcting, loopclosing.cc:892-904). ---------------
-        if n_kf <= self.max_kf_for_gba:
+        if (not bool(getattr(tracker, "imu_initialized", False))
+                or n_kf <= self.max_kf_for_gba):
             if getattr(tracker, "mesh", None) is not None:
                 self._global_ba_dist(tracker)
             else:
