@@ -27,6 +27,9 @@ from .tracker import FrameRecord, MonoTracker, TrackState, _rays_from_uv
 
 
 class StereoTracker(MonoTracker):
+    # metric scale from the stereo baseline: temporal local-BA window
+    # (see MonoTracker.ba_covisible_window)
+    ba_covisible_window = False
     """Stereo SLAM session (rectified pair, shared intrinsics)."""
 
     def __init__(self, config: SlamConfig, baseline: float):

