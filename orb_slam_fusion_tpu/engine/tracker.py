@@ -125,7 +125,7 @@ class ChunkedLocalBA:
         self.valid = valid
         self.lm = ba_mod.ChunkedLM(prob, cfg.cam_model,
                                    cfg.ba_iters_first, cfg.ba_iters_second,
-                                   chunk)
+                                   chunk, window_layout=True)
         live = self.window[self.window >= 0]
         self.newest_kf = int(live[-1]) if len(live) else -1
         self.old_newest = (lie.SE3(m.kf_pose.R[self.newest_kf],

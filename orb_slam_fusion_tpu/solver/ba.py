@@ -452,13 +452,61 @@ def _lm_step_cg(poses: lie.SE3, points: jnp.ndarray, lam: jnp.ndarray,
     return new_poses, new_points, active
 
 
+def _flat_inv3x3(H9: jnp.ndarray) -> jnp.ndarray:
+    """inv3x3 on (M, 9) row-major-flattened 3x3 blocks -> (M, 9).
+
+    Identical math to `inv3x3`, but on a flat layout: a (M, 3, 3) array
+    tiles its trailing (3, 3) to (8, 128) on TPU — a 42x memory blowup that
+    turns the nine scalar cofactor reads into full-table sweeps. The (M, 9)
+    layout keeps one tile row per block.
+    """
+    a, b, c, d, e, f, g, h, i = (H9[:, k] for k in range(9))
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    return jnp.stack([A11, A12, A13, A21, A22, A23, A31, A32, A33],
+                     axis=-1) / det[:, None]
+
+
+_DIAG9 = np.array([1, 0, 0, 0, 1, 0, 0, 0, 1], np.float32)
+
+
 def _lm_step(poses: lie.SE3, points: jnp.ndarray, lam: jnp.ndarray,
              inlier: jnp.ndarray, prob: BAProblem, cam_model: str,
-             chi2_th: float, use_robust: bool):
-    """One damped LM step with Schur elimination. Returns candidate update."""
+             chi2_th: float, use_robust: bool,
+             window_layout: bool = False):
+    """One damped LM step with Schur elimination. Returns candidate update.
+
+    Layout note (TPU): every (..., 6, 3)-trailing tensor tiles to
+    (..., 8, 128) in HBM — a ~40x blowup that made the original assembly
+    HBM-bound at ~6 ms/iteration for a 12-KF window. All landmark-axis
+    intermediates here are therefore FLAT: per-factor blocks as (F, 9) /
+    (F, 18) rows, one fused (F, 30) payload gather per iteration, the
+    landmark inverses as (M, 9), and the Schur cross terms as one
+    (M, K*18)^T @ (M, K*18) matmul with the l-diagonal extracted from the
+    (K,6,3,K,6,3) result — MXU work instead of padded-tile traffic.
+
+    window_layout=True asserts the `make_window_problem` structure:
+    kf_idx[f] == f // (F/K) AND landmark slot o holds (at most) the factor
+    of window row o (`window_landmark_groups`), so the pose-axis reductions
+    are plain reshapes and the slot->pose one-hot is the identity.
+    """
     dtype = points.dtype
     K = poses.t.shape[0]
     M = points.shape[0]
+    if window_layout:
+        assert prob.lm_factor_idx.shape[1] == K, (
+            "window_layout requires make_window_problem structure "
+            f"(O={prob.lm_factor_idx.shape[1]} != K={K})")
+        assert prob.kf_idx.shape[0] % K == 0
 
     r, Jp, Jl, depth_ok = _eval_factors(poses, points, prob, cam_model)
     active = prob.valid & inlier & depth_ok
@@ -467,60 +515,114 @@ def _lm_step(poses: lie.SE3, points: jnp.ndarray, lam: jnp.ndarray,
     w_rob = huber_weight(chi2, th_f) if use_robust else jnp.ones_like(chi2)
     w = jnp.where(active, w_rob * prob.inv_sigma2, 0.0).astype(dtype)  # (F,)
 
-    # Per-factor weighted blocks.
-    Hpp_f = jnp.einsum("fik,f,fil->fkl", Jp, w, Jp)   # (F,6,6)
-    Hll_f = jnp.einsum("fik,f,fil->fkl", Jl, w, Jl)   # (F,3,3)
-    Hpl_f = jnp.einsum("fik,f,fil->fkl", Jp, w, Jl)   # (F,6,3)
-    gp_f = jnp.einsum("fik,f,fi->fk", Jp, w, r)       # (F,6)
-    gl_f = jnp.einsum("fik,f,fi->fk", Jl, w, r)       # (F,3)
-
-    # Reductions WITHOUT scatters (TPU scatters serialize; everything below
-    # is gathers + one-hot contractions that map onto the MXU/VPU):
-    # pose segments via a (F, K) one-hot contraction, landmark segments via
-    # the per-landmark factor table (gather + masked sum over observations).
     F = prob.kf_idx.shape[0]
-    P_f = (prob.kf_idx[:, None]
-           == jnp.arange(K, dtype=prob.kf_idx.dtype)[None, :]).astype(dtype)
-    Hpp = jnp.einsum("fk,fij->kij", P_f, Hpp_f)          # (K,6,6)
-    gp = jnp.einsum("fk,fi->ki", P_f, gp_f)              # (K,6)
-    fidx = jnp.clip(prob.lm_factor_idx, 0, F - 1)        # (M,O)
-    vmf = prob.lm_factor_valid.astype(dtype)             # (M,O)
-    Hll = jnp.einsum("mo,moij->mij", vmf, Hll_f[fidx])   # (M,3,3)
-    gl = jnp.einsum("mo,moi->mi", vmf, gl_f[fidx])       # (M,3)
+    R = r.shape[-1]
+    # One relayout each: (F, R, 6) tiles its trailing (R, 6) to (8, 128);
+    # every later use is a cheap contiguous column slice of the flat view.
+    JpF = Jp.reshape(F, R * 6)
+    JlF = Jl.reshape(F, R * 3)
+    Jp_i = [JpF[:, i * 6:(i + 1) * 6] for i in range(R)]     # (F,6) each
+    Jl_i = [JlF[:, i * 3:(i + 1) * 3] for i in range(R)]     # (F,3) each
+    Jpw_i = [a * w[:, None] for a in Jp_i]
+    Jlw_i = [a * w[:, None] for a in Jl_i]
 
-    # Damping (multiplicative on diagonals) + fixed-point freezing.
-    eye3 = jnp.eye(3, dtype=dtype)
-    Hll_d = Hll + lam * Hll * jnp.broadcast_to(eye3, Hll.shape) \
-        + 1e-8 * eye3
-    # Fixed landmarks: replace block with identity, zero gradient.
-    fixl = prob.fixed_point[:, None, None]
-    Hll_d = jnp.where(fixl, jnp.broadcast_to(eye3, Hll_d.shape), Hll_d)
-    gl = jnp.where(prob.fixed_point[:, None], 0.0, gl)
-    Hll_inv = inv3x3(Hll_d)  # (M,3,3) closed-form batched inverses
-    Hll_inv = jnp.where(fixl, 0.0, Hll_inv)  # fixed lms contribute nothing
+    # Per-factor blocks built FLAT as column products (a (F,6,3) einsum
+    # output tiles to (F,8,128) — 40x the bytes of the (F,18) row):
+    #   HplP[f, c*6+p] = Hpl_f[f, p, c]   (landmark-coord-major planes)
+    #   Hll_f9[f, k*3+l] = Hll_f[f, k, l]
+    gp_f = sum(a * r[:, i:i + 1] for i, a in enumerate(Jpw_i))   # (F,6)
+    gl_f = sum(a * r[:, i:i + 1] for i, a in enumerate(Jlw_i))   # (F,3)
+    HplP = jnp.concatenate(
+        [sum(Jpw_i[i] * Jl_i[i][:, c:c + 1] for i in range(R))
+         for c in range(3)], axis=1)                             # (F,18)
+    Hll_f9 = jnp.stack(
+        [sum(Jlw_i[i][:, k] * Jl_i[i][:, l] for i in range(R))
+         for k in range(3) for l in range(3)], axis=1)           # (F,9)
 
-    # --- Schur complement: S = Hpp - sum_l W_l Hll_l^-1 W_l^T -------------
-    # Pairwise landmark cross terms contracted straight into (K, K) pose
-    # blocks through per-observation one-hot memberships — no (M,O,O) blow-
-    # up and no scatter-add.
-    Wg = Hpl_f[fidx]                           # (M,O,6,3)
-    pose_of = prob.kf_idx[fidx]                # (M,O)
-    obs_mask = prob.lm_factor_valid
-    Wg = jnp.where(obs_mask[..., None, None], Wg, 0.0)
+    # ---- pose-axis reductions -------------------------------------------
+    if window_layout:
+        stride = F // K
 
-    E = jnp.einsum("moik,mkl->moil", Wg, Hll_inv)        # (M,O,6,3)
-    Pm = ((pose_of[..., None] == jnp.arange(K, dtype=pose_of.dtype))
-          & obs_mask[..., None]).astype(dtype)           # (M,O,K)
-    T1 = jnp.einsum("mok,moil->mkil", Pm, E)             # (M,K,6,3)
-    T2 = jnp.einsum("mok,moil->mkil", Pm, Wg)            # (M,K,6,3)
+        def pose_sum(x):                              # (F, ...) -> (K, ...)
+            return x.reshape((K, stride) + x.shape[1:]).sum(axis=1)
+
+        JpwF = jnp.concatenate(Jpw_i, axis=1)                # (F,R*6)
+        Hpp = jnp.einsum("kra,krb->kab",
+                         JpwF.reshape(K, stride, R, 6).reshape(
+                             K, stride * R, 6),
+                         JpF.reshape(K, stride, R, 6).reshape(
+                             K, stride * R, 6))              # (K,6,6)
+        gp = pose_sum(gp_f)
+    else:
+        P_f = (prob.kf_idx[:, None]
+               == jnp.arange(K, dtype=prob.kf_idx.dtype)[None, :]
+               ).astype(dtype)                               # (F,K)
+
+        def pose_sum(x):
+            return jnp.einsum("fk,fa->ka", P_f,
+                              x.reshape(F, -1)).reshape((K,) + x.shape[1:])
+
+        Hpp_f36 = sum(jnp.repeat(Jpw_i[i], 6, axis=1)
+                      * jnp.tile(Jp_i[i], (1, 6)) for i in range(R))
+        Hpp = pose_sum(Hpp_f36).reshape(K, 6, 6)
+        gp = pose_sum(gp_f)
+
+    # ---- landmark grouping: ONE fused flat payload gather ---------------
+    fidx = jnp.clip(prob.lm_factor_idx, 0, F - 1)            # (M,O)
+    vmf = prob.lm_factor_valid                               # (M,O) bool
+    payload = jnp.concatenate([Hll_f9, gl_f, HplP], axis=1)  # (F,30)
+    G = jnp.where(vmf[..., None], payload[fidx], 0.0)        # (M,O,30)
+    Hll9 = jnp.sum(G[..., :9], axis=1)                       # (M,9)
+    gl = jnp.sum(G[..., 9:12], axis=1)                       # (M,3)
+
+    # Damping (multiplicative on diagonals) + fixed-point freezing, flat.
+    diag9 = jnp.asarray(_DIAG9, dtype)
+    Hll9_d = Hll9 + lam * Hll9 * diag9 + 1e-8 * diag9
+    fixl = prob.fixed_point[:, None]
+    Hll9_d = jnp.where(fixl, diag9, Hll9_d)
+    gl = jnp.where(fixl, 0.0, gl)
+    Hinv9 = jnp.where(fixl, 0.0, _flat_inv3x3(Hll9_d))       # (M,9)
+
+    # ---- Schur complement: S = Hpp - sum_l W_l Hll_l^-1 W_l^T -----------
+    # W is already gathered (the payload's Hpl planes); E = W Hll^-1 is
+    # computed IN the gathered layout from the per-landmark inverse columns
+    # (no second gather), E stored l-major: GE[m,o,l*6+p]. The pairwise
+    # landmark cross terms then become one (K*18, M) @ (M, K*18) matmul
+    # whose landmark-coordinate diagonal is the (K,K,6,6) block matrix.
+    GW = G[..., 12:30]                                       # (M,O,18)
+    GE = jnp.concatenate(
+        [sum(GW[..., c * 6:(c + 1) * 6]
+             * Hinv9[:, 3 * c + l][:, None, None] for c in range(3))
+         for l in range(3)], axis=-1)                        # (M,O,18)
+    if window_layout:
+        # slot o IS window row o: the slot->pose one-hot is the identity
+        T1v = GE.reshape(M, K * 18)
+        T2v = GW.reshape(M, K * 18)
+    else:
+        pose_of = prob.kf_idx[fidx]                          # (M,O)
+        Pm = ((pose_of[..., None] == jnp.arange(K, dtype=pose_of.dtype))
+              & vmf[..., None]).astype(dtype)                # (M,O,K)
+        T1v = jnp.einsum("mok,moa->mka", Pm, GE).reshape(M, K * 18)
+        T2v = jnp.einsum("mok,moa->mka", Pm, GW).reshape(M, K * 18)
+    Sfull = T1v.T @ T2v                                      # (K*18,K*18)
+    # T1 rows are (l, p)-major, T2 rows (c, j)-major; the l == c diagonal
+    # of the (K,3,6,K,3,6) reshape is the Schur cross-term block matrix.
+    S_cross = jnp.einsum("klpqlj->kqpj",
+                         Sfull.reshape(K, 3, 6, K, 3, 6))    # (K,K,6,6)
     eyeK = jnp.eye(K, dtype=dtype)
-    S_blocks = -jnp.einsum("mkil,mqjl->kqij", T1, T2)    # (K,K,6,6)
-    S_blocks = S_blocks + eyeK[:, :, None, None] * Hpp[:, None, :, :]
+    S_blocks = -S_cross + eyeK[:, :, None, None] * Hpp[:, None, :, :]
 
-    # Reduced gradient: g_r = gp - sum_f Hpl_f Hll_inv[mp] gl[mp]
-    corr = jnp.einsum("fik,fkl,fl->fi", Hpl_f, Hll_inv[prob.mp_idx],
-                      gl[prob.mp_idx])
-    g_r = gp - jnp.einsum("fk,fi->ki", P_f, corr)
+    # Reduced gradient: g_r = gp - sum_f E_f gl[mp]  — summed straight to
+    # the pose axis from the gathered layout (valid in BOTH paths for the
+    # non-window case too, via the slot->pose one-hot).
+    gl_rep = jnp.repeat(gl, 6, axis=1)                       # (M,18) l-major
+    if window_layout:
+        corr_o = jnp.einsum("moa,ma->oa", GE, gl_rep)        # (O,18)
+        corr_p = corr_o.reshape(K, 3, 6).sum(axis=1)         # (K,6)
+    else:
+        corr_o = jnp.einsum("mok,moa,ma->ka", Pm, GE, gl_rep)
+        corr_p = corr_o.reshape(K, 3, 6).sum(axis=1)
+    g_r = gp - corr_p
 
     # Fixed poses: identity rows/cols, zero gradient.
     eye6 = jnp.eye(6, dtype=dtype)
@@ -540,10 +642,22 @@ def _lm_step(poses: lie.SE3, points: jnp.ndarray, lam: jnp.ndarray,
     dx_p = dx_p.reshape(K, 6)
     dx_p = jnp.where(fp[:, None], 0.0, dx_p)
 
-    # Back-substitute landmarks: dx_l = Hll_inv (-gl - sum_f W^T dxp)
-    back_f = jnp.einsum("fki,fk->fi", Hpl_f, dx_p[prob.kf_idx])  # (F,3)
-    back = jnp.einsum("mo,moi->mi", vmf, back_f[fidx])
-    dx_l = jnp.einsum("mij,mj->mi", Hll_inv, -gl - back)
+    # Back-substitute landmarks: dx_l = Hll_inv (-gl - sum_f W^T dxp),
+    # straight from the gathered W planes (no further gathers).
+    D = jnp.tile(dx_p, (1, 3))                               # (K,18) c-major
+    if window_layout:
+        B = jnp.einsum("moa,oa->ma", GW, D)                  # (M,18)
+    else:
+        B = jnp.einsum("moa,mok,ka->ma", GW, Pm, D)
+    back = B.reshape(M, 3, 6).sum(axis=2)                    # (M,3)
+    rhs = -gl - back                                         # (M,3)
+    dx_l = jnp.stack(
+        [Hinv9[:, 0] * rhs[:, 0] + Hinv9[:, 1] * rhs[:, 1]
+         + Hinv9[:, 2] * rhs[:, 2],
+         Hinv9[:, 3] * rhs[:, 0] + Hinv9[:, 4] * rhs[:, 1]
+         + Hinv9[:, 5] * rhs[:, 2],
+         Hinv9[:, 6] * rhs[:, 0] + Hinv9[:, 7] * rhs[:, 1]
+         + Hinv9[:, 8] * rhs[:, 2]], axis=-1)
     dx_l = jnp.where(prob.fixed_point[:, None], 0.0, dx_l)
 
     new_poses = lie.se3_boxplus(poses, dx_p)
@@ -553,13 +667,15 @@ def _lm_step(poses: lie.SE3, points: jnp.ndarray, lam: jnp.ndarray,
 
 def _lm_scan(poses, points, lam, cost0, inlier, prob: BAProblem,
              cam_model: str, iters: int, chi2_th: float, use_robust: bool,
-             pose_stride: int = 0):
+             pose_stride: int = 0, window_layout: bool = False):
     """`iters` LM iterations from an explicit (lam, cost) carry — the
     shared core of `_lm_run` (one-shot) and `lm_chunk` (resumable).
 
     pose_stride > 0 selects the matrix-free PCG reduced solve (requires
     the window-contiguous factor layout of observation_triples); 0 keeps
-    the exact dense-Schur path (right for local windows, K <= ~64)."""
+    the exact dense-Schur path (right for local windows, K <= ~64), with
+    window_layout selecting its reshape-segment-sum fast path for
+    make_window_problem-structured factors."""
     th_f = _factor_chi2_th(prob, chi2_th)
 
     def cost_at(ps, pt):
@@ -578,7 +694,7 @@ def _lm_scan(poses, points, lam, cost0, inlier, prob: BAProblem,
         else:
             cand_poses, cand_points, _ = _lm_step(
                 poses, points, lam, inlier, prob, cam_model, chi2_th,
-                use_robust)
+                use_robust, window_layout)
         cost1 = cost_at(cand_poses, cand_points)
 
         # NaN guard: a diverged solve (near-singular reduced system) must be
@@ -603,15 +719,18 @@ def _lm_scan(poses, points, lam, cost0, inlier, prob: BAProblem,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam_model", "iters", "chi2_th", "use_robust"),
+    static_argnames=("cam_model", "iters", "chi2_th", "use_robust",
+                     "window_layout"),
 )
 def _lm_run(poses, points, inlier, prob: BAProblem, cam_model: str,
-            iters: int, chi2_th: float, use_robust: bool):
+            iters: int, chi2_th: float, use_robust: bool,
+            window_layout: bool = False):
     dtype = points.dtype
     cost0 = lm_cost(poses, points, inlier, prob, cam_model, chi2_th)
     poses, points, _, _, costs = _lm_scan(
         poses, points, jnp.asarray(1e-4, dtype), cost0, inlier, prob,
-        cam_model, iters, chi2_th, use_robust)
+        cam_model, iters, chi2_th, use_robust,
+        window_layout=window_layout)
     return poses, points, costs
 
 
@@ -650,13 +769,14 @@ class ChunkedLM:
     def __init__(self, prob: BAProblem, cam_model: str,
                  iters_first: int = 5, iters_second: int = 10,
                  chunk: int = 3, chi2_th: float = CHI2_2D,
-                 pose_stride: int = 0):
+                 pose_stride: int = 0, window_layout: bool = False):
         self.prob = prob
         self.cam_model = cam_model
         self.chi2_th = chi2_th
         # pose_stride > 0: matrix-free PCG reduced solve (large-K problems
         # with the observation_triples layout — GBA at grown capacities)
         self.pose_stride = pose_stride
+        self.window_layout = window_layout
         self.poses = prob.poses
         self.points = prob.points
         self.inlier = jnp.ones_like(prob.valid)
@@ -679,7 +799,7 @@ class ChunkedLM:
         self.poses, self.points, self.lam, self.cost, _ = lm_chunk(
             self.poses, self.points, self.lam, self.cost, self.inlier,
             self.prob, self.cam_model, n, self.chi2_th, self.phase == 0,
-            self.pose_stride)
+            self.pose_stride, self.window_layout)
         self.left[self.phase] -= n
         if self.left[self.phase] <= 0:
             self.phase += 1
@@ -698,11 +818,11 @@ class ChunkedLM:
 @functools.partial(
     jax.jit,
     static_argnames=("cam_model", "iters", "chi2_th", "use_robust",
-                     "pose_stride"),
+                     "pose_stride", "window_layout"),
 )
 def lm_chunk(poses, points, lam, cost, inlier, prob: BAProblem,
              cam_model: str, iters: int, chi2_th: float, use_robust: bool,
-             pose_stride: int = 0):
+             pose_stride: int = 0, window_layout: bool = False):
     """Resumable LM: run `iters` iterations from an explicit carry and
     return the updated carry. This is the device program behind the
     chunked/abortable global BA (the reference runs GBA on a background
@@ -711,7 +831,7 @@ def lm_chunk(poses, points, lam, cost, inlier, prob: BAProblem,
     never syncs to the host, so tracking work queues between chunks)."""
     poses, points, lam, cost, costs = _lm_scan(
         poses, points, lam, cost, inlier, prob, cam_model, iters,
-        chi2_th, use_robust, pose_stride)
+        chi2_th, use_robust, pose_stride, window_layout)
     return poses, points, lam, cost, costs
 
 
@@ -721,6 +841,7 @@ def bundle_adjustment(
     iters_first: int = 5,
     iters_second: int = 10,
     chi2_th: float = CHI2_2D,
+    window_layout: bool = False,
 ) -> Tuple[lie.SE3, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-phase robust BA (reference LocalBundleAdjustment pattern).
 
@@ -736,7 +857,7 @@ def bundle_adjustment(
     inlier = jnp.ones_like(prob.valid)
     poses, points, costs1 = _lm_run(
         prob.poses, prob.points, inlier, prob, cam_model,
-        iters_first, chi2_th, True)
+        iters_first, chi2_th, True, window_layout)
 
     th_f = _factor_chi2_th(prob, chi2_th)
     r, fin = _eval_residuals(poses, points, prob, cam_model)
@@ -745,7 +866,7 @@ def bundle_adjustment(
 
     poses, points, costs2 = _lm_run(
         poses, points, inlier, prob, cam_model,
-        iters_second, chi2_th, False)
+        iters_second, chi2_th, False, window_layout)
 
     r, fin = _eval_residuals(poses, points, prob, cam_model)
     chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2

@@ -66,7 +66,7 @@ def local_ba_step(
         fixed_point=~m.mp_valid, **stereo_kwargs)
     new_poses, new_points, inlier, costs = ba.bundle_adjustment(
         prob, cam_model=cam_model, iters_first=iters_first,
-        iters_second=iters_second)
+        iters_second=iters_second, window_layout=True)
 
     # ---- write back: window poses, landmark positions, outlier unbinding.
     # Padded window slots are routed to an out-of-bounds row and dropped —

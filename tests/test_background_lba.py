@@ -36,7 +36,8 @@ def _run(cfg, n=70):
             pixel_noise=0.3, desc_bit_flips=3, dropout=0.08, seed=11)
         rec = tracker.process_features(feats, float(world.timestamps[k]))
         states.append(rec.state)
-        in_flight.append(tracker._pending_lba is not None)
+        # keep the object itself (not id(): ids are reused after GC)
+        in_flight.append(tracker._pending_lba)
     return world, tracker, states, in_flight
 
 
@@ -45,14 +46,19 @@ def test_background_lba_runs_and_matches_sync():
     assert tracker.state == TrackState.OK
     # the solve really was in flight at the end of some frames...
     assert any(in_flight), "background LBA never started"
-    # ...and never outlives the next keyframe by much: the robust phase
-    # runs synchronously at the insert and the polish spreads over the
-    # following frames (5 iters/chunk over 10 polish iterations)
+    # ...and no SINGLE solve outlives its keyframe by much: the robust
+    # phase runs synchronously at the insert and the polish spreads over
+    # the following frames (5 iters/chunk over 10 polish iterations).
+    # Back-to-back keyframes legitimately chain separate solves, so the
+    # bound is per solve object, not per any-solve-in-flight streak.
     run = best = 0
-    for f in in_flight:
-        run = run + 1 if f else 0
+    prev = None
+    for obj in in_flight:
+        run = run + 1 if (obj is not None and obj is prev) else \
+            (1 if obj is not None else 0)
         best = max(best, run)
-    assert best <= 5, f"LBA stayed in flight {best} consecutive frames"
+        prev = obj
+    assert best <= 5, f"one LBA solve stayed in flight {best} frames"
 
     # exports drain the pending solve and the accuracy matches the
     # synchronous configuration
