@@ -262,29 +262,56 @@ def main():
           f"includes tunnel dispatch+fetch)", file=sys.stderr)
 
     # ---- kernel cost statement: the three dominant device programs -----
-    # Per-dispatch wall time + XLA's own cost-analysis FLOP/byte counts ->
-    # rough utilization. The denominator is the chip's peak (v5e: ~197
-    # TFLOP/s bf16 / ~98 fp32, ~819 GB/s HBM) — these programs are fp32
-    # and matching/gather-heavy, so the honest statement for most of them
-    # is HBM-bound utilization, not MXU MFU.
+    # DEVICE time per dispatch via the scan-slope method (time a k-short
+    # and a k-long on-device loop of the kernel, report the slope): a
+    # single timed dispatch through the remotely-tunneled chip measures
+    # mostly the ~30 ms host<->device round trip, overstating every kernel
+    # (round-4 table: local_ba "119 ms" vs 29 ms true device time). XLA's
+    # cost-analysis FLOP/byte counts -> rough utilization; denominator is
+    # the chip's peak (v5e: ~197 TFLOP/s bf16 / ~98 fp32, ~819 GB/s HBM).
+    # These programs are fp32 and matching/gather-heavy, so the honest
+    # statement for most of them is HBM-bound utilization, not MXU MFU.
     kernels = {}
     try:
         PEAK_FLOPS = 98e12 if jax.default_backend() != "cpu" else 1e11
         PEAK_BYTES = 819e9 if jax.default_backend() != "cpu" else 5e10
 
         feats0 = extract_features(img, params)
-        upd0 = None
 
-        def time_call(fn, *a, reps=5, **kw):
-            out = fn(*a, **kw)          # compile
-            jax.block_until_ready(out)
-            best = 1e9
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                out = fn(*a, **kw)
-                jax.block_until_ready(out)
-                best = min(best, time.perf_counter() - t0)
-            return best, out
+        def time_call(fn, *a, k_short=2, k_long=8, reps=3, **kw):
+            """Per-dispatch device time: slope between a k_short- and a
+            k_long-iteration on-device scan of the kernel. `fn(jitter,
+            *a)` must mix the scalar `jitter` into an input (so the scan
+            body is data-chained and XLA cannot hoist it), and the result
+            is FETCHED, not just block_until_ready'd — the remote
+            backend's ready signal returns before execution completes."""
+            out0 = fn(jnp.float32(0), *a, **kw)   # output template
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def jloop(k):
+                def body(c, _):
+                    out = fn(c, *a, **kw)
+                    # chain EVERY output leaf into the carry — probing one
+                    # leaf lets XLA dead-code-eliminate the rest of the
+                    # kernel (measured: mapping_step "0.0 ms")
+                    probe = sum(jnp.sum(leaf.astype(jnp.float32))
+                                for leaf in jax.tree_util.tree_leaves(out)
+                                ) * 1e-20
+                    return probe, probe
+                return jax.lax.scan(body, jnp.float32(0),
+                                    None, length=k)[0]
+
+            def timed(k):
+                np.asarray(jloop(k))    # warm/compile
+                best = 1e9
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    np.asarray(jloop(k))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            slope = (timed(k_long) - timed(k_short)) / (k_long - k_short)
+            return max(slope, 1e-6), out0
 
         def cost_of(fn, *a, **kw):
             try:
@@ -296,10 +323,13 @@ def main():
             except Exception:
                 return 0.0, 0.0
 
-        def track_fn(m, R, t, feats):
+        def ext_fn(j):
+            return extract_features(img + j, params)
+
+        def track_fn(j, m, R, t, feats):
             # +0: the fused step donates the counter buffers
             return fused_frame_update(
-                m.mp_pos, m.mp_desc, m.mp_valid,
+                m.mp_pos + j, m.mp_desc, m.mp_valid,
                 m.mp_visible + 0, m.mp_found + 0,
                 lie.SE3(R, t), lie.SE3(R, t),
                 feats.uv, feats.desc, feats.valid, feats.octave,
@@ -307,33 +337,35 @@ def main():
                 mp_min_dist=m.mp_min_dist, mp_max_dist=m.mp_max_dist,
                 img_h=H, img_w=W, use_pallas=use_pallas)
 
-        def map_fn(m, R, t, feats, obs):
+        def map_fn(j, m, R, t, feats, obs):
             prev_ids = jnp.stack([m.n_kf - 1, m.n_kf - 2, m.n_kf - 3])
             return mapping_step(
-                m, lie.SE3(R, t), 0.0, feats.uv, feats.desc, feats.octave,
+                m._replace(mp_pos=m.mp_pos + j), lie.SE3(R, t), 0.0,
+                feats.uv, feats.desc, feats.octave,
                 feats.valid, obs, prev_ids.astype(jnp.int32), cam,
                 img_h=H, img_w=W).map
 
-        def ba_fn(m):
+        def ba_fn(j, m):
             window = m.n_kf - BA_W + jnp.arange(BA_W, dtype=jnp.int32)
             fixed = (jnp.arange(BA_W) < 2) | (window < 0)
-            return local_ba_step(m, jnp.where(window >= 0, window, -1),
+            return local_ba_step(m._replace(mp_pos=m.mp_pos + j),
+                                 jnp.where(window >= 0, window, -1),
                                  fixed, inv_s2, cam,
                                  iters_first=5, iters_second=10)[0]
 
-        t_ext, _ = time_call(lambda: extract_features(img, params))
+        t_ext, _ = time_call(ext_fn)
         t_trk, upd0 = time_call(track_fn, m0, ident.R, ident.t, feats0)
         t_map, _ = time_call(map_fn, m0, ident.R, ident.t, feats0,
                              upd0.obs)
         t_ba, _ = time_call(ba_fn, m0)
+        z = jnp.float32(0)
         for name, tt, (fl, by) in (
-                ("orb_extract", t_ext, cost_of(
-                    lambda im: extract_features(im, params), img)),
+                ("orb_extract", t_ext, cost_of(ext_fn, z)),
                 ("frame_update", t_trk, cost_of(
-                    track_fn, m0, ident.R, ident.t, feats0)),
+                    track_fn, z, m0, ident.R, ident.t, feats0)),
                 ("mapping_step", t_map, cost_of(
-                    map_fn, m0, ident.R, ident.t, feats0, upd0.obs)),
-                ("local_ba_15it", t_ba, cost_of(ba_fn, m0))):
+                    map_fn, z, m0, ident.R, ident.t, feats0, upd0.obs)),
+                ("local_ba_15it", t_ba, cost_of(ba_fn, z, m0))):
             kernels[name] = {
                 "ms": round(tt * 1e3, 2),
                 "gflops": round(fl / 1e9, 2),
