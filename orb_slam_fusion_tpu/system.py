@@ -218,6 +218,21 @@ class System:
         self._sync_background()
         save_euroc(path, self.tracker.trajectory_tum())
 
+    def save_interactive_viewer(self, path: str,
+                                title: str = "") -> None:
+        """Export the session as a self-contained interactive HTML viewer
+        (reference: the live Pangolin Viewer, src/viewer.cc:156-188 —
+        follow-camera / step / pause / show-points / show-graph menu).
+        Headless environments get the same interaction surface offline."""
+        self._sync_background()
+        from .viz.viewer import export_interactive
+        t = self.tracker
+        edges = t.loop_closer.loop_edges if t.loop_closer else []
+        export_interactive(
+            t.map, path, trajectory=t.trajectory_tum(), loop_edges=edges,
+            title=title or f"orb_slam_fusion_tpu — {len(t.trajectory)} "
+            f"frames, {int(t.map.n_kf)} KFs")
+
     def save_trajectory_kitti(self, path: str) -> None:
         self._sync_background()
         poses = [lie.se3_inverse(Tcw)

@@ -87,6 +87,27 @@ def test_map_drawing(mono_session, tmp_path):
     assert os.path.getsize(p) > 10000
 
 
+def test_interactive_viewer(mono_session, tmp_path):
+    sys_, world = mono_session
+    p = os.path.join(tmp_path, "viewer.html")
+    sys_.save_interactive_viewer(p)
+    html = open(p).read()
+    # self-contained: no external resources, data embedded inline
+    assert "http://" not in html and "https://" not in html
+    import json
+    import re
+    m = re.search(r"const D=(\{.*?\});\n", html, re.S)
+    data = json.loads(m.group(1))
+    assert len(data["traj"]) == len(sys_.tracker.trajectory)
+    assert len(data["kf_centers"]) == int(sys_.tracker.map.n_kf)
+    assert len(data["points"]) > 100
+    assert len(data["cov"]) > 0          # covisibility graph present
+    # the reference viewer's menu surface is present
+    for control in ("follow camera", "points", "keyframes", "graph",
+                    "trajectory", "loop edges", "play"):
+        assert control in html
+
+
 def test_crash_handler(tmp_path):
     """Crash dumps: a raised exception writes a dump file with the engine
     snapshot (reference: Breakpad minidump handler, slam_euroc_si.cc:38)."""
