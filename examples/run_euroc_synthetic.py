@@ -131,6 +131,10 @@ def run_sequence_stereo_imu(seq: str, n_frames: int) -> float:
             acc, gyro, tm = vio.frame_imu[k - 1]
         states.append(tracker.process_stereo_imu(
             fL, fR, float(world.timestamps[k]), acc, gyro, tm).state)
+        if k > 0 and states[-1] != states[-2]:
+            print(f"  [{seq} {k}] state {states[-2]} -> {states[-1]} "
+                  f"kf={int(tracker.map.n_kf)}/{tracker.map.max_kf} "
+                  f"archived={len(tracker.atlas)}", flush=True)
         if k > 0 and k % 500 == 0:
             print(f"  [{seq} {k}/{len(t)}] {k/(time.time()-t0):.1f} fps "
                   f"kf={int(tracker.map.n_kf)}", flush=True)
@@ -192,6 +196,10 @@ def run_sequence(seq: str, n_frames: int, stride: int = 10) -> float:
                                  pixel_noise=0.4, desc_bit_flips=4,
                                  dropout=0.1)
         states.append(tracker.process_features(feats, float(t[k])).state)
+        if k > 0 and states[-1] != states[-2]:
+            print(f"  [{seq} {k}] state {states[-2]} -> {states[-1]} "
+                  f"kf={int(tracker.map.n_kf)}/{tracker.map.max_kf} "
+                  f"archived={len(tracker.atlas)}", flush=True)
         if k > 0 and k % 500 == 0:
             print(f"  [{seq} {k}/{len(t)}] {k/(time.time()-t0):.1f} fps "
                   f"kf={int(tracker.map.n_kf)}", flush=True)

@@ -56,7 +56,27 @@ def _detect_candidates(m: ms.MapState, bow, present, vocab, kf_id,
     # camera-rate WORSE, 87 -> 184 cm: the short-range closures carry
     # little drift information themselves, but each one triggers a global
     # BA that keeps the whole visual map polished.)
-    exclude = (W[kf_c] >= 15) | ((kfa >= guard_lo) & (kfa <= kf_id))
+    temporal = (kfa >= guard_lo) & (kfa <= kf_id)
+    cov = W[kf_c]
+    excl_cov = cov >= 15
+    # saturation fallback: the reference's exclusion set
+    # (GetConnectedKeyFrames) is bounded in practice by occlusion and
+    # viewpoint — distant keyframes stop sharing observations. In an
+    # occlusion-free synthetic world long tracks touch most of the map,
+    # the >=15 rule excludes EVERYTHING, and detection is structurally
+    # disabled (the round-3/4 elig_zero runs: 103/103 stereo-inertial
+    # queries with zero eligible entries). When exclusion would leave
+    # fewer than 8 eligible database rows, keep only the 30 strongest
+    # covisible links excluded (the reference's essential-graph
+    # neighborhood size, keyframe.cc GetBestCovisibilityKeyFrames) —
+    # every later stage (temporal consistency, Sim3 RANSAC + opt, guided
+    # projection) still gates geometric correctness.
+    n_elig0 = jnp.sum(present & ~(excl_cov | temporal))
+    cap = min(30, int(cov.shape[0]))
+    kth = jax.lax.top_k(jnp.where(excl_cov & present, cov, -1), cap)[0][-1]
+    excl_relaxed = excl_cov & (cov >= jnp.maximum(kth, 15))
+    excl_cov = jnp.where(n_elig0 >= 8, excl_cov, excl_relaxed)
+    exclude = excl_cov | temporal
     q = compute_bow_vector(vocab, m.kf_desc[kf_c], m.kf_feat_valid[kf_c],
                            levels)
     ids, scores = _query(bow, present, q, exclude, top_k)
